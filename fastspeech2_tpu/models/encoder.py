@@ -1,0 +1,212 @@
+"""FFT-block (feed-forward Transformer) encoder/decoder stack.
+
+Behavioral contract from the reference ``/root/reference/core/encoder.py``:
+
+- input layer: token embedding ("embed", used by the text encoder,
+  ``fastspeech.py:65-67``) or Linear->LayerNorm->Dropout->ReLU ("linear", the
+  decoder's nonstandard ordering, ``core/encoder.py:118-125``), each followed by
+  (scaled) sinusoidal positional encoding (``core/embedding.py``);
+- N blocks of [self-attention + positionwise FFN] with pre/post-LN selected by
+  ``normalize_before`` (default False => post-LN, ``configs/default.yaml:62-63``)
+  and optional ``concat_after`` linear;
+- FFN is either conv1d k=9 -> ReLU -> dropout -> conv1d k=1 ("conv1d",
+  ``core/modules.py:204-248``) or Linear->ReLU->dropout->Linear ("linear");
+- a final LayerNorm only when ``normalize_before`` (``core/encoder.py:201-202``).
+
+LayerNorms here use torch's default eps=1e-5 (``core/encoder.py:37-38``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.ops import nn
+from fastspeech2_tpu.ops.attention import init_mha, mha_apply
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    idim: int                      # vocab size (embed) or input feature dim (linear)
+    attention_dim: int = 256
+    attention_heads: int = 2
+    linear_units: int = 1024
+    num_blocks: int = 4
+    dropout_rate: float = 0.2
+    positional_dropout_rate: float = 0.2
+    attention_dropout_rate: float = 0.2
+    input_layer: str = "embed"     # "embed" | "linear"
+    use_scaled_pos_enc: bool = True
+    normalize_before: bool = False
+    concat_after: bool = False
+    positionwise_layer_type: str = "conv1d"  # "conv1d" | "linear"
+    positionwise_conv_kernel_size: int = 9
+    padding_idx: int = 0
+    max_pos_len: int = 5000
+
+
+@functools.lru_cache(maxsize=8)
+def sinusoid_table(max_len: int, d_model: int) -> np.ndarray:
+    """Absolute sinusoidal PE table (reference core/embedding.py:48-66)."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def init_ffn(key, cfg: EncoderConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    d, h = cfg.attention_dim, cfg.linear_units
+    if cfg.positionwise_layer_type == "conv1d":
+        return {
+            "w1": nn.init_conv1d(k1, d, h, cfg.positionwise_conv_kernel_size, dtype=dtype),
+            "w2": nn.init_conv1d(k2, h, d, 1, dtype=dtype),
+        }
+    elif cfg.positionwise_layer_type == "linear":
+        return {
+            "w1": nn.init_linear(k1, d, h, dtype),
+            "w2": nn.init_linear(k2, h, d, dtype),
+        }
+    raise ValueError(f"unknown positionwise_layer_type {cfg.positionwise_layer_type}")
+
+
+def ffn_apply(p, cfg: EncoderConfig, x: Array, *, rng=None, deterministic=True,
+              conv_mask: Optional[Array] = None) -> Array:
+    """conv_mask (B, T) bool: zero conv inputs at invalid rows so a padded
+    static buffer sees zeros exactly like torch's implicit SAME padding would
+    (used by exact-unpadded inference; None replicates the reference's batched
+    pad-leak semantics). The k=1 conv and linear FFN are row-local."""
+    if cfg.positionwise_layer_type == "conv1d":
+        if conv_mask is not None:
+            x = jnp.where(conv_mask[..., None], x, 0.0)
+        h = jax.nn.relu(nn.conv1d(p["w1"], x))
+        h = nn.dropout(rng, h, cfg.dropout_rate, deterministic=deterministic)
+        return nn.conv1d(p["w2"], h)
+    h = jax.nn.relu(nn.linear(p["w1"], x))
+    h = nn.dropout(rng, h, cfg.dropout_rate, deterministic=deterministic)
+    return nn.linear(p["w2"], h)
+
+
+def init_encoder(key, cfg: EncoderConfig, init_alpha: float = 1.0, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_blocks + 2)
+    params = {}
+    if cfg.input_layer == "embed":
+        params["embed"] = nn.init_embedding(
+            keys[0], cfg.idim, cfg.attention_dim, padding_idx=cfg.padding_idx, dtype=dtype
+        )
+    elif cfg.input_layer == "linear":
+        params["input_linear"] = nn.init_linear(keys[0], cfg.idim, cfg.attention_dim, dtype)
+        params["input_ln"] = nn.init_layer_norm(cfg.attention_dim, dtype)
+    else:
+        raise ValueError(f"unknown input_layer {cfg.input_layer}")
+    if cfg.use_scaled_pos_enc:
+        params["alpha"] = jnp.asarray(init_alpha, dtype)
+    layers = []
+    for i in range(cfg.num_blocks):
+        ka, kf, kc = jax.random.split(keys[i + 1], 3)
+        layer = {
+            "attn": init_mha(ka, cfg.attention_dim, dtype),
+            "ffn": init_ffn(kf, cfg, dtype),
+            "norm1": nn.init_layer_norm(cfg.attention_dim, dtype),
+            "norm2": nn.init_layer_norm(cfg.attention_dim, dtype),
+        }
+        # the reference always allocates concat_linear (core/encoder.py:44);
+        # we only create it when used, and the ckpt translator drops unused ones
+        if cfg.concat_after:
+            layer["concat"] = nn.init_linear(kc, 2 * cfg.attention_dim, cfg.attention_dim, dtype)
+        layers.append(layer)
+    params["layers"] = layers
+    if cfg.normalize_before:
+        params["after_norm"] = nn.init_layer_norm(cfg.attention_dim, dtype)
+    return params
+
+
+def _positional_encode(params, cfg: EncoderConfig, x: Array, *, rng, deterministic) -> Array:
+    """(Scaled) PE add: scaled => x + alpha*pe (core/embedding.py:105-120);
+    plain => x*sqrt(d) + pe (:68-80). Then positional dropout."""
+    pe = jnp.asarray(sinusoid_table(cfg.max_pos_len, cfg.attention_dim)[: x.shape[1]],
+                     dtype=x.dtype)
+    if cfg.use_scaled_pos_enc:
+        x = x + params["alpha"] * pe
+    else:
+        x = x * math.sqrt(cfg.attention_dim) + pe
+    return nn.dropout(rng, x, cfg.positional_dropout_rate, deterministic=deterministic)
+
+
+def encoder_apply(
+    params,
+    cfg: EncoderConfig,
+    xs: Array,
+    mask: Optional[Array],
+    *,
+    rng: Optional[Array] = None,
+    deterministic: bool = True,
+    conv_mask: Optional[Array] = None,
+) -> Array:
+    """Run the FFT-block stack.
+
+    Args:
+        xs: (B, T) int token ids for input_layer="embed", else (B, T, idim).
+        mask: (B, T, T) bool self-attention mask (True=valid) or None.
+        conv_mask: (B, T) bool row validity for exact-unpadded conv masking.
+    Returns:
+        (B, T, attention_dim) hidden states.
+    """
+    n_rngs = 2 + 4 * cfg.num_blocks
+    rngs = (jax.random.split(rng, n_rngs) if rng is not None
+            else [None] * n_rngs)
+    r = iter(rngs)
+
+    if cfg.input_layer == "embed":
+        x = nn.embedding(params["embed"], xs)
+    else:
+        # nonstandard Linear->LN->Dropout->ReLU ordering (core/encoder.py:118-125)
+        x = nn.linear(params["input_linear"], xs)
+        x = nn.layer_norm(params["input_ln"], x)
+        x = nn.dropout(next(r), x, cfg.dropout_rate, deterministic=deterministic)
+        x = jax.nn.relu(x)
+    if cfg.input_layer == "embed":
+        next(r)  # keep rng schedule aligned across input layer types
+    x = _positional_encode(params, cfg, x, rng=next(r), deterministic=deterministic)
+
+    for layer in params["layers"]:
+        residual = x
+        y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
+        att = mha_apply(
+            layer["attn"], y, y, y, mask, cfg.attention_heads,
+            dropout_rate=cfg.attention_dropout_rate, dropout_key=next(r),
+            deterministic=deterministic,
+        )
+        if cfg.concat_after:
+            x = residual + nn.linear(layer["concat"], jnp.concatenate([y, att], axis=-1))
+            next(r)
+        else:
+            x = residual + nn.dropout(next(r), att, cfg.dropout_rate,
+                                      deterministic=deterministic)
+        if not cfg.normalize_before:
+            x = nn.layer_norm(layer["norm1"], x)
+
+        residual = x
+        y = nn.layer_norm(layer["norm2"], x) if cfg.normalize_before else x
+        f = ffn_apply(layer["ffn"], cfg, y, rng=next(r), deterministic=deterministic,
+                      conv_mask=conv_mask)
+        x = residual + nn.dropout(next(r), f, cfg.dropout_rate,
+                                  deterministic=deterministic)
+        if not cfg.normalize_before:
+            x = nn.layer_norm(layer["norm2"], x)
+
+    if cfg.normalize_before:
+        x = nn.layer_norm(params["after_norm"], x)
+    return x

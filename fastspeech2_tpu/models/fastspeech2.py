@@ -1,0 +1,338 @@
+"""FastSpeech2 text->mel model: pure-functional init/apply.
+
+Replicates the behavioral contract of the reference ``FeedForwardTransformer``
+(``/root/reference/fastspeech.py``) as a params-pytree + jitted-apply design:
+
+- training ``forward`` is teacher-forced: ground-truth durations drive the
+  length regulator and ground-truth frame-level pitch/energy are quantized,
+  one-hot encoded and added via linear embeddings (fastspeech.py:197-219);
+- pitch/energy are predicted at frame level AFTER length regulation (:214-217);
+- inference predicts durations (exp/round/clamp), expands, predicts pitch and
+  energy, embeds, decodes (:192-196,221-238);
+- losses: L1(before)+L1(after) + MSE(log-duration) + MSE(energy) + MSE(pitch),
+  masked means over valid positions (:281-324).
+
+Shapes are static (padded); masks carry validity. ``exact_unpadded=True`` in
+inference zeroes every conv input beyond the true length so a padded static
+buffer is bit-equivalent to the reference's unpadded single-utterance run
+(conv windows then see zeros exactly like torch's implicit SAME padding).
+Training keeps the reference's batched padding semantics (pad rows carry
+embed-of-zero values that leak into conv windows -- faithfully replicated).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.config import Config
+from fastspeech2_tpu.models.encoder import EncoderConfig, encoder_apply, init_encoder
+from fastspeech2_tpu.models.postnet import PostnetConfig, init_postnet, postnet_apply
+from fastspeech2_tpu.models.predictors import (
+    PredictorConfig,
+    duration_inference_apply,
+    duration_train_apply,
+    init_predictor,
+    variance_inference_apply,
+    variance_train_apply,
+)
+from fastspeech2_tpu.ops import attention_mask, make_non_pad_mask, nn
+from fastspeech2_tpu.ops.length_regulator import regulate_length, scale_durations
+from fastspeech2_tpu.ops.quantize import linear_bins, log_bins, to_one_hot
+from fastspeech2_tpu.text.symbols import NUM_PHONEMES
+
+Array = jax.Array
+
+
+class Batch(NamedTuple):
+    """A padded training batch (static shapes)."""
+
+    xs: Array      # (B, T) int32 token ids
+    ilens: Array   # (B,) int32
+    ys: Array      # (B, L, odim) float mel targets
+    olens: Array   # (B,) int32
+    ds: Array      # (B, T) int32 durations
+    es: Array      # (B, L) float energy targets
+    ps: Array      # (B, L) float pitch targets
+
+
+@dataclass(frozen=True)
+class FastSpeech2:
+    """Static model definition; params/state live outside (functional style)."""
+
+    cfg: Config
+    idim: int = NUM_PHONEMES
+
+    # -- derived sub-configs -------------------------------------------------
+
+    @property
+    def odim(self) -> int:
+        return self.cfg.audio.num_mels
+
+    @property
+    def encoder_cfg(self) -> EncoderConfig:
+        m = self.cfg.model
+        return EncoderConfig(
+            idim=self.idim, attention_dim=m.adim, attention_heads=m.aheads,
+            linear_units=m.eunits, num_blocks=m.elayers,
+            dropout_rate=m.transformer_dropout_rate,
+            positional_dropout_rate=m.transformer_dropout_rate,
+            attention_dropout_rate=m.transformer_dropout_rate,
+            input_layer="embed", use_scaled_pos_enc=m.use_scaled_pos_enc,
+            normalize_before=m.encoder_normalize_before,
+            concat_after=m.encoder_concat_after,
+            positionwise_layer_type=m.positionwise_layer_type,
+            positionwise_conv_kernel_size=m.positionwise_conv_kernel_size,
+            max_pos_len=m.max_pos_len,
+        )
+
+    @property
+    def decoder_cfg(self) -> EncoderConfig:
+        m = self.cfg.model
+        return EncoderConfig(
+            idim=m.adim, attention_dim=m.ddim, attention_heads=m.aheads,
+            linear_units=m.dunits, num_blocks=m.dlayers,
+            dropout_rate=m.transformer_dropout_rate,
+            positional_dropout_rate=m.transformer_dropout_rate,
+            attention_dropout_rate=m.transformer_dropout_rate,
+            input_layer="linear", use_scaled_pos_enc=m.use_scaled_pos_enc,
+            normalize_before=m.decoder_normalize_before,
+            concat_after=m.decoder_concat_after,
+            positionwise_layer_type=m.positionwise_layer_type,
+            positionwise_conv_kernel_size=m.positionwise_conv_kernel_size,
+            max_pos_len=m.max_pos_len,
+        )
+
+    @property
+    def duration_cfg(self) -> PredictorConfig:
+        m = self.cfg.model
+        return PredictorConfig(
+            idim=m.adim, n_layers=m.duration_predictor_layers,
+            n_chans=m.duration_predictor_chans,
+            kernel_size=m.duration_predictor_kernel_size,
+            dropout_rate=m.duration_predictor_dropout_rate,
+        )
+
+    @property
+    def variance_cfg(self) -> PredictorConfig:
+        # Energy/PitchPredictor wrap VariancePredictor(idim) with DEFAULT args
+        # (reference fastspeech.py:93-112 -> variance_predictor.py:8-17):
+        # 2 layers, 256 chans, k=3, dropout 0.5 -- the constructor kwargs are
+        # dropped by the reference's wrapper, a quirk we replicate.
+        return PredictorConfig(idim=self.cfg.model.adim,
+                               dropout_rate=self.cfg.model.variance_predictor_dropout_rate)
+
+    @property
+    def postnet_cfg(self) -> Optional[PostnetConfig]:
+        m = self.cfg.model
+        if m.postnet_layers == 0:
+            return None
+        return PostnetConfig(
+            odim=self.odim, n_layers=m.postnet_layers, n_chans=m.postnet_chans,
+            n_filts=m.postnet_filts, dropout_rate=m.postnet_dropout_rate,
+            use_batch_norm=m.use_batch_norm,
+        )
+
+    @property
+    def energy_bins(self) -> np.ndarray:
+        d = self.cfg.data
+        return linear_bins(d.e_min, d.e_max, self.cfg.model.variance_n_bins)
+
+    @property
+    def pitch_bins(self) -> np.ndarray:
+        d = self.cfg.data
+        return log_bins(d.p_min, d.p_max, self.cfg.model.variance_n_bins)
+
+    # -- init ----------------------------------------------------------------
+
+    def init(self, key: Array, dtype=jnp.float32):
+        """Returns (params, state). state = postnet BatchNorm running stats."""
+        m = self.cfg.model
+        keys = jax.random.split(key, 9)
+        params = {
+            "encoder": init_encoder(keys[0], self.encoder_cfg,
+                                    m.initial_encoder_alpha, dtype),
+            "duration_predictor": init_predictor(keys[1], self.duration_cfg, dtype),
+            "energy_predictor": init_predictor(keys[2], self.variance_cfg, dtype),
+            "pitch_predictor": init_predictor(keys[3], self.variance_cfg, dtype),
+            "energy_embed": nn.init_linear(keys[4], m.variance_n_bins, m.adim, dtype),
+            "pitch_embed": nn.init_linear(keys[5], m.variance_n_bins, m.adim, dtype),
+            "decoder": init_encoder(keys[6], self.decoder_cfg,
+                                    m.initial_decoder_alpha, dtype),
+            "feat_out": nn.init_linear(keys[7], m.ddim,
+                                       self.odim * m.reduction_factor, dtype),
+        }
+        state = {}
+        if self.postnet_cfg is not None:
+            params["postnet"], state["postnet"] = init_postnet(
+                keys[8], self.postnet_cfg, dtype)
+        return params, state
+
+    # -- shared trunk --------------------------------------------------------
+
+    def _decode(self, params, state, hs, h_mask_2d, conv_mask, *,
+                rngs, training) -> Tuple[Array, Array, dict]:
+        """Decoder + feat_out + postnet. h_mask_2d: (B,L,L) attn mask or None;
+        conv_mask: (B,L) validity for exact-unpadded conv masking or None."""
+        zs = encoder_apply(params["decoder"], self.decoder_cfg, hs, h_mask_2d,
+                           rng=rngs.get("decoder"), deterministic=not training,
+                           conv_mask=conv_mask)
+        before = nn.linear(params["feat_out"], zs)
+        B = before.shape[0]
+        before = before.reshape(B, -1, self.odim)
+        new_state = dict(state)
+        if self.postnet_cfg is None:
+            after = before
+        else:
+            resid, new_post = postnet_apply(
+                params["postnet"], state["postnet"], self.postnet_cfg, before,
+                rng=rngs.get("postnet"), training=training, conv_mask=conv_mask)
+            after = before + resid
+            new_state["postnet"] = new_post
+        return before, after, new_state
+
+    # -- training forward ----------------------------------------------------
+
+    def forward(
+        self, params, state, batch: Batch, *,
+        rng: Optional[Array] = None, training: bool = False,
+    ) -> Tuple[Array, Dict[str, Array], dict]:
+        """Teacher-forced forward; returns (loss, report, new_state)."""
+        T = batch.xs.shape[1]
+        L = batch.ys.shape[1]
+        if rng is not None:
+            names = ["encoder", "decoder", "postnet", "dur", "en", "pi"]
+            rngs = dict(zip(names, jax.random.split(rng, len(names))))
+        else:
+            rngs = {}
+
+        tok_mask = make_non_pad_mask(batch.ilens, T)
+        mel_mask = make_non_pad_mask(batch.olens, L)
+        x_masks = attention_mask(batch.ilens, T)
+
+        hs = encoder_apply(params["encoder"], self.encoder_cfg, batch.xs, x_masks,
+                           rng=rngs.get("encoder"), deterministic=not training)
+
+        # ground-truth quantized pitch/energy (no grad flows: table lookups only)
+        one_hot_energy = to_one_hot(batch.es, self.energy_bins)
+        one_hot_pitch = to_one_hot(batch.ps, self.pitch_bins)
+
+        d_outs = duration_train_apply(
+            params["duration_predictor"], self.duration_cfg, hs, tok_mask,
+            rng=rngs.get("dur"), deterministic=not training)
+
+        hs_e, _, _ = regulate_length(hs, batch.ds, tok_mask, L)
+
+        e_outs = variance_train_apply(
+            params["energy_predictor"], self.variance_cfg, hs_e, mel_mask,
+            rng=rngs.get("en"), deterministic=not training)
+        p_outs = variance_train_apply(
+            params["pitch_predictor"], self.variance_cfg, hs_e, mel_mask,
+            rng=rngs.get("pi"), deterministic=not training)
+
+        # same addition order as the reference (fastspeech.py:218-219)
+        hs2 = hs_e + nn.linear(params["pitch_embed"], one_hot_pitch)
+        hs2 = hs2 + nn.linear(params["energy_embed"], one_hot_energy)
+
+        h_masks = attention_mask(batch.olens, L)
+        before, after, new_state = self._decode(
+            params, state, hs2, h_masks, None, rngs=rngs, training=training)
+
+        loss, report = self._loss(before, after, d_outs, e_outs, p_outs, batch,
+                                  tok_mask, mel_mask)
+        return loss, report, new_state
+
+    def _loss(self, before, after, d_outs, e_outs, p_outs, batch: Batch,
+              tok_mask, mel_mask) -> Tuple[Array, Dict[str, Array]]:
+        """Masked losses == reference masked_select + mean (fastspeech.py:281-324)."""
+        f = jnp.float32
+        mel_m3 = mel_mask[..., None].astype(f)
+        n_mel = jnp.maximum(jnp.sum(mel_m3), 1.0) * self.odim  # selected elements
+        before_loss = jnp.sum(jnp.abs(before - batch.ys) * mel_m3) / n_mel
+        after_loss = jnp.sum(jnp.abs(after - batch.ys) * mel_m3) / n_mel
+        l1_loss = before_loss + after_loss
+
+        tok_m = tok_mask.astype(f)
+        n_tok = jnp.maximum(jnp.sum(tok_m), 1.0)
+        # duration loss in log domain vs log(d+1) (duration_predictor.py:133-151)
+        log_d = jnp.log(batch.ds.astype(f) + 1.0)
+        duration_loss = jnp.sum(jnp.square(d_outs - log_d) * tok_m) / n_tok
+
+        mel_m = mel_mask.astype(f)
+        n_frames = jnp.maximum(jnp.sum(mel_m), 1.0)
+        energy_loss = jnp.sum(jnp.square(e_outs - batch.es) * mel_m) / n_frames
+        pitch_loss = jnp.sum(jnp.square(p_outs - batch.ps) * mel_m) / n_frames
+
+        loss = l1_loss + duration_loss + energy_loss + pitch_loss
+        report = {
+            "l1_loss": l1_loss, "before_loss": before_loss, "after_loss": after_loss,
+            "duration_loss": duration_loss, "energy_loss": energy_loss,
+            "pitch_loss": pitch_loss, "loss": loss,
+        }
+        return loss, report
+
+    # -- inference -----------------------------------------------------------
+
+    def inference(
+        self, params, state, xs: Array, ilens: Array, *,
+        out_maxlen: int, alpha: float = 1.0,
+    ) -> Tuple[Array, Array, Array]:
+        """Free-running synthesis (reference fastspeech.py:339-357, 192-196).
+
+        Args:
+            xs: (B, T) int token ids, padded.
+            ilens: (B,) lengths.
+            out_maxlen: static frame-axis capacity of the output buffer.
+        Returns:
+            (mel (B, out_maxlen, odim) -- zeroed beyond each sequence's length,
+             out_lens (B,), durations (B, T) int32)
+
+        Bit-equivalent to the reference's unpadded per-utterance inference:
+        every conv input is re-zeroed beyond the true length so static padding
+        behaves like torch's implicit SAME zero-padding (see module docstring).
+        """
+        T = xs.shape[1]
+        tok_mask = make_non_pad_mask(ilens, T)
+        x_masks = attention_mask(ilens, T)
+
+        hs = encoder_apply(params["encoder"], self.encoder_cfg, xs, x_masks,
+                           conv_mask=tok_mask)
+
+        d_outs = duration_inference_apply(
+            params["duration_predictor"], self.duration_cfg, hs, tok_mask,
+            conv_mask=tok_mask)
+        d_scaled = scale_durations(d_outs, alpha)
+
+        hs_e, frame_mask, out_lens = regulate_length(hs, d_scaled, tok_mask, out_maxlen)
+
+        e_raw = variance_inference_apply(
+            params["energy_predictor"], self.variance_cfg, hs_e, conv_mask=frame_mask)
+        p_raw = variance_inference_apply(
+            params["pitch_predictor"], self.variance_cfg, hs_e, conv_mask=frame_mask)
+        one_hot_energy = to_one_hot(e_raw, self.energy_bins)
+        one_hot_pitch = to_one_hot(p_raw, self.pitch_bins)
+
+        hs2 = hs_e + nn.linear(params["pitch_embed"], one_hot_pitch)
+        hs2 = hs2 + nn.linear(params["energy_embed"], one_hot_energy)
+        # zero pad rows: the reference has no rows beyond the true length at
+        # inference (decoder mask is None there, fastspeech.py:221-224); with a
+        # static buffer we mask attention + conv tails instead.
+        hs2 = jnp.where(frame_mask[..., None], hs2, 0.0)
+
+        h_masks = attention_mask(out_lens, out_maxlen)
+        before, after, _ = self._decode(
+            params, state, hs2, h_masks, frame_mask, rngs={}, training=False)
+        after = jnp.where(frame_mask[..., None], after, 0.0)
+        return after, out_lens, d_outs
+
+
+def init_fastspeech2(key: Array, cfg: Optional[Config] = None,
+                     idim: int = NUM_PHONEMES, dtype=jnp.float32):
+    """Convenience: build the model and initialize (params, state)."""
+    model = FastSpeech2(cfg if cfg is not None else Config(), idim)
+    params, state = model.init(key, dtype)
+    return model, params, state

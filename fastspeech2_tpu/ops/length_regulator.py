@@ -1,0 +1,67 @@
+"""Jit-compatible length regulator.
+
+The reference expands phoneme states frame-by-frame with a host-side Python loop
+(``/root/reference/core/duration_modeling/length_regulator.py:60-95``) -- a
+structural bottleneck. Here the expansion is a single gather: for output frame j,
+the source phoneme index is the number of duration-cumsum entries <= j, i.e.
+``searchsorted(cumsum(d), j, side='right')``. With the dataset invariant
+sum(durations) == mel frames (``dataset/dataloader.py:63-65``) this is exact.
+
+Replicated quirks:
+- durations are zeroed at padded token positions;
+- a sequence whose durations sum to 0 falls back to duration 1 per valid token
+  (reference :86-88);
+- output frames beyond the expanded length are zero-filled, matching the
+  reference's ``pad_2d_tensor(xs, 0.0)`` (:65) -- this matters because the
+  decoder conv-FFN (k=9) reads across the boundary.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def regulate_length(
+    hs: Array, ds: Array, tok_mask: Array, out_maxlen: int,
+    pad_to_token: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Expand phoneme-level states to frame level by durations.
+
+    Args:
+        hs: (B, T, D) phoneme states.
+        ds: (B, T) integer durations.
+        tok_mask: (B, T) bool, True at valid tokens.
+        out_maxlen: static frame-axis length L of the output.
+        pad_to_token: if True, out-of-range frames gather the last valid token
+            instead of being zeroed (not reference behavior; off by default).
+
+    Returns:
+        (expanded (B, L, D), frame_mask (B, L) bool, out_lens (B,) int32)
+    """
+    ds = jnp.where(tok_mask, ds, 0).astype(jnp.int32)
+    total = jnp.sum(ds, axis=-1, keepdims=True)
+    # all-zero-durations fallback: one frame per valid token (reference :86-88)
+    ds = jnp.where(total == 0, tok_mask.astype(jnp.int32), ds)
+
+    cum = jnp.cumsum(ds, axis=-1)  # (B, T)
+    out_lens = cum[:, -1]
+    frames = jnp.arange(out_maxlen, dtype=jnp.int32)  # (L,)
+    # idx[b, j] = #{i : cum[b, i] <= j}  == searchsorted(cum[b], j, 'right')
+    idx = jnp.sum(cum[:, None, :] <= frames[None, :, None], axis=-1)  # (B, L)
+    idx = jnp.minimum(idx, hs.shape[1] - 1)
+    expanded = jnp.take_along_axis(hs, idx[..., None], axis=1)  # (B, L, D)
+
+    frame_mask = frames[None, :] < out_lens[:, None]
+    if not pad_to_token:
+        expanded = jnp.where(frame_mask[..., None], expanded, 0.0)
+    return expanded, frame_mask, out_lens
+
+
+def scale_durations(ds: Array, alpha: float) -> Array:
+    """Speed control: round(d * alpha) (reference length_regulator.py:57-59)."""
+    if alpha == 1.0:
+        return ds
+    return jnp.round(ds.astype(jnp.float32) * alpha).astype(jnp.int32)

@@ -1,0 +1,137 @@
+"""Functional NN primitives with PyTorch-compatible numerics.
+
+Params are plain dicts of jnp arrays. Weight layouts are JAX-idiomatic
+(``linear``: (in, out); ``conv1d``: (k, in, out); activations are NLC) -- the
+translation from torch layouts lives in :mod:`fastspeech2_tpu.compat.torch_loader`.
+
+Initializers replicate torch defaults ("pytorch" init in the reference,
+``core/modules.py:51-57`` -- i.e. the module defaults):
+Linear/Conv1d ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weight and bias;
+Embedding ~ N(0,1) with the padding row zeroed; LayerNorm gamma=1 beta=0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# init helpers
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    return {
+        "w": _uniform(kw, (in_dim, out_dim), bound, dtype),
+        "b": _uniform(kb, (out_dim,), bound, dtype),
+    }
+
+
+def init_conv1d(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
+                dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_ch * kernel)
+    p = {"w": _uniform(kw, (kernel, in_ch, out_ch), bound, dtype)}
+    if bias:
+        p["b"] = _uniform(kb, (out_ch,), bound, dtype)
+    return p
+
+
+def init_embedding(key, vocab: int, dim: int, padding_idx: Optional[int] = None,
+                   dtype=jnp.float32):
+    w = jax.random.normal(key, (vocab, dim), dtype)
+    if padding_idx is not None:
+        w = w.at[padding_idx].set(0.0)
+    return {"w": w}
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32):
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def init_batch_norm(dim: int, dtype=jnp.float32):
+    """Returns (params, state): affine params and running statistics."""
+    params = {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype)}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# apply helpers
+# ---------------------------------------------------------------------------
+
+def linear(p, x: Array) -> Array:
+    """x @ w + b over the last axis."""
+    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+
+
+def conv1d(p, x: Array, *, padding: str = "SAME") -> Array:
+    """1-D convolution over NLC activations with (k, in, out) weights.
+
+    'SAME' matches torch Conv1d with padding=(k-1)//2 for odd k (the only case
+    the reference uses: k in {1,3,5,9}).
+    """
+    y = lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding=padding,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def embedding(p, ids: Array) -> Array:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def layer_norm(p, x: Array, *, eps: float = 1e-5) -> Array:
+    """LayerNorm over the last axis (torch semantics: biased variance)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = lax.rsqrt(var + eps)
+    return (x - mean) * inv * p["g"] + p["b"]
+
+
+def batch_norm(params, state, x: Array, *, training: bool, momentum: float = 0.1,
+               eps: float = 1e-5):
+    """BatchNorm1d over NLC activations, normalizing per channel (last axis).
+
+    Returns (y, new_state). In training mode, batch statistics are used and
+    running stats updated with torch's convention (running_var uses the
+    unbiased batch variance).
+    """
+    if training:
+        n = x.shape[0] * x.shape[1]
+        mean = jnp.mean(x, axis=(0, 1))
+        var = jnp.mean(jnp.square(x - mean), axis=(0, 1))  # biased, for normalization
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * lax.rsqrt(var + eps) * params["g"] + params["b"]
+    return y, new_state
+
+
+def dropout(key: Optional[Array], x: Array, rate: float, *, deterministic: bool) -> Array:
+    """Inverted dropout (torch semantics: scale by 1/(1-rate) at train time)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

@@ -1,0 +1,43 @@
+"""Pitch/energy quantization: bucketize + one-hot.
+
+Matches ``torch.bucketize(x, bins)`` with ``right=False`` (the reference's
+``to_one_hot``, ``/root/reference/core/variance_predictor.py:154-159,227-232``):
+result i satisfies bins[i-1] < x <= bins[i], i.e. numpy/jnp ``searchsorted``
+with ``side='left'`` -- verified against torch in tests/test_quantize.py.
+
+Bin construction (reference ``core/variance_predictor.py:124,188-197``):
+- energy: 255 linear edges over [e_min, e_max]
+- pitch: 255 log-spaced edges over [p_min, p_max]
+giving 256 buckets == embedding input dim.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def linear_bins(vmin: float, vmax: float, n_bins: int = 256) -> np.ndarray:
+    """Energy bin edges: linspace(min, max, n_bins-1), float32."""
+    return np.linspace(vmin, vmax, n_bins - 1, dtype=np.float64).astype(np.float32)
+
+
+def log_bins(vmin: float, vmax: float, n_bins: int = 256) -> np.ndarray:
+    """Pitch bin edges: exp(linspace(log min, log max, n_bins-1)), float32.
+
+    Computed in float32 end-to-end like torch does on float32 tensors.
+    """
+    lo = np.log(np.float32(vmin), dtype=np.float32)
+    hi = np.log(np.float32(vmax), dtype=np.float32)
+    return np.exp(np.linspace(lo, hi, n_bins - 1, dtype=np.float32))
+
+
+def bucketize(x: Array, bins: Array) -> Array:
+    """torch.bucketize(x, bins, right=False) == searchsorted(bins, x, 'left')."""
+    return jnp.searchsorted(jnp.asarray(bins), x, side="left").astype(jnp.int32)
+
+
+def to_one_hot(x: Array, bins: Array, n_bins: int = 256) -> Array:
+    """Quantize values and one-hot encode to (..., n_bins) float32."""
+    return jax.nn.one_hot(bucketize(x, bins), n_bins, dtype=jnp.float32)

@@ -1,0 +1,88 @@
+"""Text frontend tests: tokenization parity with the reference's vocabulary and
+remapping (reference dataset/texts/__init__.py), cleaners, numbers."""
+
+import pytest
+
+from fastspeech2_tpu.text import (
+    NUM_PHONEMES,
+    phonemes_to_sequence,
+    sequence_to_phonemes,
+    text_to_sequence,
+    valid_symbols,
+)
+from fastspeech2_tpu.text.cleaners import english_cleaners, punctuation_removers
+from fastspeech2_tpu.text.numbers import normalize_numbers
+
+
+def test_vocab_size():
+    # == len(valid_symbols) in the reference (train_fastspeech.py:35)
+    assert NUM_PHONEMES == 68
+    assert valid_symbols[0] == "AA"
+    assert valid_symbols[-3:] == ["pau", "sil", "spn"]
+
+
+def test_phonemes_roundtrip():
+    seq = phonemes_to_sequence("HH AH0 L OW1 pau")
+    assert seq == [
+        valid_symbols.index("HH"),
+        valid_symbols.index("AH0"),
+        valid_symbols.index("L"),
+        valid_symbols.index("OW1"),
+        valid_symbols.index("pau"),
+    ]
+    assert sequence_to_phonemes(seq) == "HH AH0 L OW1 pau"
+
+
+def test_cmu_stress_remapping():
+    # secondary stress collapses (reference :190-212)
+    assert phonemes_to_sequence(["AA2"]) == [valid_symbols.index("AA1")]
+    assert phonemes_to_sequence(["ER0"]) == [valid_symbols.index("EH1")]
+    assert phonemes_to_sequence(["EH2"]) == [valid_symbols.index("EH1")]
+    # ER itself survives
+    assert phonemes_to_sequence(["ER"]) == [valid_symbols.index("ER")]
+
+
+def test_phonemes_from_valid_filelist_row():
+    # first row of the reference's valid_filelist.txt tokenizes without error
+    phon = ("P R IH1 N T IH0 NG pau IH1 N DH IY0 OW1 N L IY0 S EH1 N S W IH1 DH "
+            "pau W IH1 CH W IY1 AA1 R AE1 T P R EH1 Z AH0 N T")
+    seq = phonemes_to_sequence(phon)
+    assert len(seq) == len(phon.split())
+    assert all(0 <= i < NUM_PHONEMES for i in seq)
+
+
+def test_unknown_phoneme_raises():
+    with pytest.raises(ValueError):
+        phonemes_to_sequence(["QQ"])
+
+
+def test_english_cleaners():
+    assert english_cleaners("Mr. Smith  spent $10.") == "mister smith spent ten dollars."
+    assert english_cleaners("Café") == "cafe"
+
+
+def test_numbers():
+    assert normalize_numbers("1985") == "nineteen eighty-five"
+    assert normalize_numbers("2000") == "two thousand"
+    assert normalize_numbers("2005") == "two thousand five"
+    assert normalize_numbers("1905") == "nineteen oh five"
+    assert normalize_numbers("13") == "thirteen"
+    assert normalize_numbers("3000") == "three thousand"
+    assert normalize_numbers("$1.50") == "one dollar, fifty cents"
+    assert normalize_numbers("21st") == "twenty-first"
+    assert normalize_numbers("2nd") == "second"
+    # the year-style group-2 path applies to any 1000<n<3000 (reference
+    # numbers.py:49-63): 1,234 -> "twelve thirty-four"
+    assert normalize_numbers("1,234") == "twelve thirty-four"
+    assert normalize_numbers("5,678") == "five thousand, six hundred seventy-eight"
+    assert normalize_numbers("3.14") == "three point fourteen"
+
+
+def test_punctuation_removers():
+    assert punctuation_removers("a-b!c(d)'e") == "abcde"
+
+
+def test_grapheme_path():
+    ids = text_to_sequence("ab c.", ["english_cleaners"], eos=False)
+    # a->8, b->9, space->6, c->10, .->5 (reference dict_.py)
+    assert ids == [8, 9, 6, 10, 5]
