@@ -1,0 +1,158 @@
+"""STFT + mel feature extraction, numerically matching the reference.
+
+The reference computes the STFT as a Conv1d against a precomputed windowed
+Fourier basis with reflect padding (``/root/reference/utils/stft.py:80-110``) and
+the mel spectrogram as ``log(clamp(mel_basis @ |STFT|, min=1e-5))``
+(``utils/stft.py:188-204``, ``dataset/audio_processing.py:243-249``). Here:
+
+- framing is a strided gather, windowing an elementwise multiply, and the DFT a
+  single real matmul (frames @ [cos; -sin]^T) -- MXU-shaped on TPU, identical
+  numerics to the conv formulation;
+- the mel filterbank reimplements librosa's slaney-scale ``filters.mel``
+  (fmin=0, fmax=8000, 80 bins) in pure numpy (librosa is not a dependency);
+- energy is the per-frame L2 norm over magnitude bins
+  (``nvidia_preprocessing.py:39``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic (fftbins=True) Hann window == scipy.signal.get_window('hann', n)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def _hz_to_mel_slaney(hz):
+    """Slaney mel scale (librosa default, htk=False)."""
+    hz = np.asarray(hz, dtype=np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    mel = hz / f_sp
+    log_region = hz >= min_log_hz
+    mel = np.where(log_region, min_log_mel + np.log(np.maximum(hz, 1e-10) / min_log_hz) / logstep, mel)
+    return mel
+
+
+def _mel_to_hz_slaney(mel):
+    mel = np.asarray(mel, dtype=np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    hz = mel * f_sp
+    log_region = mel >= min_log_mel
+    return np.where(log_region, min_log_hz * np.exp(logstep * (mel - min_log_mel)), hz)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(
+    sample_rate: int = 22050, n_fft: int = 1024, n_mels: int = 80,
+    fmin: float = 0.0, fmax: Optional[float] = 8000.0,
+) -> np.ndarray:
+    """(n_mels, n_fft//2+1) slaney-normalized triangular mel filterbank,
+    matching ``librosa.filters.mel`` defaults (htk=False, norm='slaney') as used
+    by the reference (``utils/stft.py:174-178``)."""
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz_slaney(mel_pts)  # (n_mels+2,)
+
+    fdiff = np.diff(hz_pts)  # (n_mels+1,)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]  # (n_mels+2, n_freqs)
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # slaney normalization: equal area per filter
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def frame_signal(y: Array, n_fft: int, hop_length: int) -> Array:
+    """(B, N) -> (B, n_frames, n_fft) with center reflect padding (librosa-style,
+    reference utils/stft.py:86-93)."""
+    pad = n_fft // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (y.shape[1] - n_fft) // hop_length + 1
+    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    return y[:, idx]  # (B, n_frames, n_fft)
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed real-DFT basis (n_fft, 2*(n_fft//2+1)): [cos | -sin] columns.
+
+    frames @ basis gives [real | imag] of the one-sided DFT of the windowed
+    frame -- the matmul form of the reference's conv-with-Fourier-basis
+    (utils/stft.py:53-77)."""
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    n = np.arange(n_fft)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    window = hann_window(win_length).astype(np.float64)
+    if win_length < n_fft:  # pad_center like the reference
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    basis = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    return (basis * window[:, None]).astype(np.float32)
+
+
+def stft_magnitude_phase(
+    y: Array, n_fft: int = 1024, hop_length: int = 256, win_length: int = 1024,
+) -> Tuple[Array, Array]:
+    """(B, N) waveform in [-1, 1] -> (magnitude, phase), each (B, n_freq, n_frames).
+
+    Matches the reference ``STFT.transform`` (utils/stft.py:80-110) numerically.
+    """
+    frames = frame_signal(y, n_fft, hop_length)  # (B, F, n_fft)
+    basis = jnp.asarray(_dft_basis(n_fft, win_length))
+    spec = jnp.einsum("bfn,nk->bfk", frames, basis,
+                      preferred_element_type=jnp.float32)  # (B, F, 2*n_freq)
+    n_freq = n_fft // 2 + 1
+    real = spec[..., :n_freq].transpose(0, 2, 1)  # (B, n_freq, F)
+    imag = spec[..., n_freq:].transpose(0, 2, 1)
+    magnitude = jnp.sqrt(real * real + imag * imag)
+    phase = jnp.arctan2(imag, real)
+    return magnitude, phase
+
+
+def energy_from_magnitude(magnitude: Array) -> Array:
+    """Per-frame L2 norm over frequency bins (nvidia_preprocessing.py:39)."""
+    return jnp.sqrt(jnp.sum(magnitude * magnitude, axis=-2))
+
+
+class MelSpectrogram:
+    """TacotronSTFT equivalent (reference utils/stft.py:159-204): waveform ->
+    (log-mel (B, n_mels, T), magnitude (B, n_freq, T))."""
+
+    def __init__(self, sample_rate=22050, n_fft=1024, hop_length=256,
+                 win_length=1024, n_mels=80, fmin=0.0, fmax=8000.0,
+                 clip_val=1e-5):
+        self.n_fft = n_fft
+        self.hop_length = hop_length
+        self.win_length = win_length
+        self.clip_val = clip_val
+        self.mel_basis = jnp.asarray(
+            mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax))
+
+    def __call__(self, y: Array) -> Tuple[Array, Array]:
+        magnitude, _ = stft_magnitude_phase(
+            y, self.n_fft, self.hop_length, self.win_length)
+        mel = jnp.einsum("mf,bft->bmt", self.mel_basis, magnitude,
+                         preferred_element_type=jnp.float32)
+        # dynamic range compression (dataset/audio_processing.py:243-249)
+        mel = jnp.log(jnp.clip(mel, min=self.clip_val))
+        return mel, magnitude

@@ -1,0 +1,242 @@
+"""Command-line entry points (the reference's per-script CLIs as subcommands).
+
+    python -m fastspeech2_tpu preprocess -d WAV_DIR -c CONFIG     (nvidia_preprocessing.py)
+    python -m fastspeech2_tpu stats -c CONFIG                     (compute_statistics.py)
+    python -m fastspeech2_tpu train -c CONFIG -n NAME -o OUTDIR   (train_fastspeech.py)
+    python -m fastspeech2_tpu synth -p CKPT --text "..." -o OUT   (inference.py)
+    python -m fastspeech2_tpu evaluate -p CKPT -c CONFIG          (evaluation.py)
+    python -m fastspeech2_tpu export -p CKPT -o OUT               (export_torchscript.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _setup_logging(outdir: str | None = None, name: str = "run"):
+    handlers = [logging.StreamHandler()]
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(outdir, f"{name}.log")))
+    logging.basicConfig(level=logging.INFO, handlers=handlers,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+
+def cmd_preprocess(args):
+    """wav -> (mel, energy, pitch) .npy per utterance (nvidia_preprocessing.py)."""
+    from scipy.io.wavfile import read as read_wav
+
+    from fastspeech2_tpu.audio.pitch import extract_pitch
+    from fastspeech2_tpu.audio.stft import MelSpectrogram, energy_from_magnitude
+    from fastspeech2_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    a = cfg.audio
+    mel_fn = MelSpectrogram(a.sample_rate, a.n_fft, a.hop_length, a.win_length,
+                            a.n_mels, a.fmin, a.fmax)
+    out_root = args.out or cfg.data.data_dir
+    for sub in ("mels", "energy", "pitch"):
+        os.makedirs(os.path.join(out_root, sub), exist_ok=True)
+    wavs = sorted(glob.glob(os.path.join(args.data_path, "**", "*.wav"),
+                            recursive=True))
+    logging.info("preprocessing %d wavs -> %s", len(wavs), out_root)
+    for path in wavs:
+        sr, wav = read_wav(path)
+        if wav.dtype == np.int16:
+            wav = wav / 32768.0
+        elif wav.dtype == np.int32:
+            wav = wav / 2147483648.0
+        wav = wav.astype(np.float32)
+        assert sr == a.sample_rate, f"{path}: sr {sr} != {a.sample_rate}"
+        p = extract_pitch(wav, a.sample_rate, a.hop_length)
+        mel, mag = mel_fn(wav[None])
+        e = np.asarray(energy_from_magnitude(mag))[0]
+        mel = np.asarray(mel)[0]
+        p = p[: mel.shape[1]]
+        utt = os.path.basename(path).split(".")[0]
+        np.save(os.path.join(out_root, "mels", f"{utt}.npy"), mel)
+        np.save(os.path.join(out_root, "energy", f"{utt}.npy"), e)
+        np.save(os.path.join(out_root, "pitch", f"{utt}.npy"),
+                p.astype(np.float64))
+
+
+def cmd_stats(args):
+    """Dataset e/p statistics to paste into the config (compute_statistics.py)."""
+    from fastspeech2_tpu.config import load_config
+    from fastspeech2_tpu.data.dataset import remove_outlier
+
+    cfg = load_config(args.config)
+    root = args.data_dir or cfg.data.data_dir
+    out = {}
+    for kind, mean_key in (("energy", "e"), ("pitch", "f0")):
+        vecs = []
+        for f in sorted(glob.glob(os.path.join(root, kind, "*.npy"))):
+            vecs.append(remove_outlier(np.load(f)))
+        if not vecs:
+            logging.warning("no %s files under %s", kind, root)
+            continue
+        nz = np.concatenate([v[v != 0.0] for v in vecs])
+        if nz.size == 0:
+            logging.warning("all %s values zero after outlier filtering", kind)
+            continue
+        out[f"{mean_key}_mean"] = float(nz.mean())
+        out[f"{mean_key}_std"] = float(nz.std())
+        out[f"{kind}_nonzero_min"] = float(min(v[v > 0].min() for v in vecs if (v > 0).any()))
+        out[f"{kind}_max"] = float(max(v.max() for v in vecs))
+        np.save(os.path.join(root, f"{mean_key}_mean.npy"),
+                np.float32(out[f"{mean_key}_mean"]))
+        np.save(os.path.join(root, f"{mean_key}_std.npy"),
+                np.float32(out[f"{mean_key}_std"]))
+    print(json.dumps(out, indent=1))
+
+
+def cmd_train(args):
+    from fastspeech2_tpu.config import load_config
+    from fastspeech2_tpu.train.loop import train
+
+    _setup_logging(args.outdir, args.name)
+    cfg = load_config(args.config)
+    train(cfg, args.name, args.outdir, resume_path=args.checkpoint_path,
+          max_steps=args.max_steps, data_dir=args.data_dir)
+
+
+def cmd_synth(args):
+    from fastspeech2_tpu.infer.synthesize import Synthesizer, vocode, write_wav
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.train.checkpoint import load_checkpoint_meta
+    from fastspeech2_tpu.config import Config, load_config
+
+    _setup_logging(args.out, "synth")
+    import jax
+
+    if args.checkpoint_path and args.checkpoint_path.endswith((".pth", ".pyt", ".pt")):
+        from fastspeech2_tpu.compat.torch_loader import load_torch_checkpoint
+
+        cfg = load_config(args.config) if args.config else None
+        params, state, cfg, _ = load_torch_checkpoint(args.checkpoint_path, cfg)
+        model = FastSpeech2(cfg)
+        params = jax.tree.map(np.asarray, params)
+    elif args.checkpoint_path:
+        meta = load_checkpoint_meta(args.checkpoint_path)
+        cfg = Config.from_yaml(meta["hp_yaml"])
+        model = FastSpeech2(cfg)
+        p0, s0 = model.init(jax.random.PRNGKey(0))
+        from fastspeech2_tpu.train.checkpoint import load_checkpoint
+        from fastspeech2_tpu.train.optimizer import make_optimizer
+
+        opt_t = make_optimizer(cfg).init(p0)
+        params, state, _, _, _ = load_checkpoint(args.checkpoint_path, p0, s0, opt_t)
+    else:  # random init (smoke runs)
+        cfg = load_config(args.config)
+        model = FastSpeech2(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+
+    synth = Synthesizer(model, params, state)
+    if args.phonemes:
+        mel = synth.synth_phonemes(args.text, alpha=args.alpha)
+        stats = {"frames": int(mel.shape[0])}
+    else:
+        mel, stats = synth.synth_text(args.text, alpha=args.alpha)
+    logging.info("synthesized %s frames (%s)", mel.shape[0], stats)
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "mel.npy"), mel.T)  # (n_mels, L) like the ref
+    wav = vocode(mel, cfg)
+    write_wav(os.path.join(args.out, "test_tts.wav"), wav, cfg.audio.sample_rate)
+    logging.info("wrote %s", os.path.join(args.out, "test_tts.wav"))
+
+
+def cmd_evaluate(args):
+    import jax
+
+    from fastspeech2_tpu.config import load_config
+    from fastspeech2_tpu.data.dataset import TTSDataset
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.train.checkpoint import load_checkpoint
+    from fastspeech2_tpu.train.loop import evaluate_predictors
+    from fastspeech2_tpu.train.optimizer import make_optimizer
+    from fastspeech2_tpu.train.step import TrainState
+
+    _setup_logging(None)
+    cfg = load_config(args.config)
+    model = FastSpeech2(cfg)
+    p0, s0 = model.init(jax.random.PRNGKey(0))
+    opt_t = make_optimizer(cfg).init(p0)
+    params, state, opt_state, step, cfg = load_checkpoint(
+        args.checkpoint_path, p0, s0, opt_t)
+    ts = TrainState(params, state, opt_state, step)
+    valid = TTSDataset(args.data_dir or cfg.data.data_dir, cfg.data.valid_filelist,
+                       cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
+    print(json.dumps(evaluate_predictors(model, ts, valid), indent=1))
+
+
+def cmd_export(args):
+    from fastspeech2_tpu.infer.export import export_inference
+
+    _setup_logging(None)
+    export_inference(args.checkpoint_path, args.out, config_path=args.config,
+                     batch=args.batch, max_tokens=args.max_tokens,
+                     max_frames=args.max_frames)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fastspeech2_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("preprocess")
+    sp.add_argument("-d", "--data_path", required=True)
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("-o", "--out", default=None)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("-d", "--data_dir", default=None)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("-n", "--name", default="fastspeech2")
+    sp.add_argument("-o", "--outdir", default="./out")
+    sp.add_argument("-p", "--checkpoint_path", default=None)
+    sp.add_argument("-d", "--data_dir", default=None)
+    sp.add_argument("--max_steps", type=int, default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("-p", "--checkpoint_path", default=None)
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("--text", required=True)
+    sp.add_argument("--phonemes", action="store_true",
+                    help="treat --text as a space-joined phoneme string")
+    sp.add_argument("--alpha", type=float, default=1.0)
+    sp.add_argument("-o", "--out", default="./synth_out")
+    sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("evaluate")
+    sp.add_argument("-p", "--checkpoint_path", required=True)
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("-d", "--data_dir", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("-p", "--checkpoint_path", default=None)
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("-o", "--out", required=True)
+    sp.add_argument("--batch", type=int, default=1)
+    sp.add_argument("--max_tokens", type=int, default=192)
+    sp.add_argument("--max_frames", type=int, default=1024)
+    sp.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -106,6 +106,9 @@ class ModelConfig:
     variance_n_bins: int = 256
     # positional-encoding table length (reference core/embedding.py:31)
     max_pos_len: int = 5000
+    # Pallas fused attention on the deterministic path: "auto" (TPU only),
+    # "on", or "off"
+    fused_attention: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,86 @@
+"""Deploy-artifact export (reference ``export_torchscript.py``).
+
+The TPU-native equivalent of TorchScript export is AOT lowering with
+``jax.export``: the jitted inference function is serialized (StableHLO) for a
+fixed (batch, max_tokens, max_frames) signature and can be reloaded and called
+without the model-building Python code.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger("fastspeech2_tpu.export")
+
+
+def export_inference(checkpoint_path: Optional[str], out_path: str,
+                     config_path: Optional[str] = None, batch: int = 1,
+                     max_tokens: int = 192, max_frames: int = 1024) -> str:
+    """Serialize the inference fn (params baked in) to ``out_path``.
+
+    Returns the written path. Loads reference .pth checkpoints or our .npz;
+    with no checkpoint, exports a random init (useful for shape contracts).
+    """
+    from jax import export as jax_export
+
+    from fastspeech2_tpu.config import Config, load_config
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+
+    if checkpoint_path and checkpoint_path.endswith((".pth", ".pyt", ".pt")):
+        from fastspeech2_tpu.compat.torch_loader import load_torch_checkpoint
+
+        cfg = load_config(config_path) if config_path else None
+        params, state, cfg, _ = load_torch_checkpoint(checkpoint_path, cfg)
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+    elif checkpoint_path:
+        from fastspeech2_tpu.train.checkpoint import (
+            load_checkpoint, load_checkpoint_meta)
+        from fastspeech2_tpu.train.optimizer import make_optimizer
+
+        meta = load_checkpoint_meta(checkpoint_path)
+        cfg = Config.from_yaml(meta["hp_yaml"])
+        model0 = FastSpeech2(cfg)
+        p0, s0 = model0.init(jax.random.PRNGKey(0))
+        opt_t = make_optimizer(cfg).init(p0)
+        params, state, _, _, _ = load_checkpoint(checkpoint_path, p0, s0, opt_t)
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+    else:
+        cfg = load_config(config_path)
+        model0 = FastSpeech2(cfg)
+        params, state = model0.init(jax.random.PRNGKey(0))
+
+    model = FastSpeech2(cfg)
+
+    def infer(xs, ilens):
+        mel, out_lens, durs = model.inference(
+            params, state, xs, ilens, out_maxlen=max_frames)
+        return mel, out_lens
+
+    exported = jax_export.export(jax.jit(infer))(
+        jax.ShapeDtypeStruct((batch, max_tokens), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.int32),
+    )
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    log.info("exported %d-byte artifact to %s (B=%d, T<=%d, L<=%d)",
+             len(blob), out_path, batch, max_tokens, max_frames)
+    return out_path
+
+
+def load_exported(path: str):
+    """Reload an exported artifact; returns a callable (xs, ilens) -> (mel, out_lens)."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return lambda xs, ilens: exported.call(xs, ilens)

@@ -1,0 +1,128 @@
+"""End-to-end synthesis (reference ``/root/reference/inference.py``).
+
+Pipeline: paragraph -> sentence split on '.' (inference.py:101-108) -> clean +
+g2p -> pau mapping (:84-98) -> per-sentence jitted model inference -> concat
+mels (:170-176) -> vocoder (MelGAN when available, else Griffin-Lim,
+:180-199) -> int16 wav (:200-201).
+
+TPU-shaped: sentences are padded to a small set of static token lengths so the
+jit cache stays warm across calls; batches of sentences run in one device call.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.config import Config
+from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+from fastspeech2_tpu.text import phonemes_to_sequence
+from fastspeech2_tpu.text.g2p import preprocess_text, process_paragraph
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class Synthesizer:
+    """Stateful wrapper: holds params + jit caches keyed by static shapes."""
+
+    def __init__(self, model: FastSpeech2, params, state,
+                 token_multiple: int = 32, frames_per_token: int = 12,
+                 max_frames: int = 2048):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.token_multiple = token_multiple
+        self.frames_per_token = frames_per_token
+        self.max_frames = max_frames
+        self._jitted = {}
+
+    def _fn(self, t_pad: int, l_pad: int):
+        key = (t_pad, l_pad)
+        if key not in self._jitted:
+            def infer(params, state, xs, ilens, alpha):
+                return self.model.inference(params, state, xs, ilens,
+                                            out_maxlen=l_pad, alpha=alpha)
+            self._jitted[key] = jax.jit(infer, static_argnames=("alpha",))
+        return self._jitted[key]
+
+    def mel_from_token_batch(
+        self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """List of id sequences -> (mel (B, L, n_mels), out_lens (B,))."""
+        B = len(token_seqs)
+        t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
+        l_pad = min(_round_up(t_pad * self.frames_per_token, 256), self.max_frames)
+        xs = np.zeros((B, t_pad), np.int32)
+        ilens = np.zeros((B,), np.int32)
+        for i, s in enumerate(token_seqs):
+            xs[i, : len(s)] = s
+            ilens[i] = len(s)
+        mel, out_lens, _ = self._fn(t_pad, l_pad)(
+            self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens), alpha)
+        return np.asarray(mel), np.asarray(out_lens)
+
+    def synth_phonemes(self, phoneme_str: str, alpha: float = 1.0) -> np.ndarray:
+        """Space-joined phoneme string -> (L, n_mels) mel."""
+        tokens = np.asarray(phonemes_to_sequence(phoneme_str), np.int32)
+        mel, out_lens = self.mel_from_token_batch([tokens], alpha)
+        return mel[0, : out_lens[0]]
+
+    def synth_text(self, text: str, alpha: float = 1.0,
+                   g2p=None) -> Tuple[np.ndarray, dict]:
+        """Free text -> (L_total, n_mels) mel (sentence mels concatenated,
+        reference inference.py:170-176) + timing stats."""
+        t0 = time.perf_counter()
+        sentences = [s for s in process_paragraph(text) if s.strip()]
+        phoneme_strs = [preprocess_text(s, g2p=g2p) for s in sentences]
+        token_seqs = [np.asarray(phonemes_to_sequence(p), np.int32)
+                      for p in phoneme_strs if p]
+        t_frontend = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        mel, out_lens = self.mel_from_token_batch(token_seqs, alpha)
+        mels = [mel[i, : out_lens[i]] for i in range(len(token_seqs))]
+        full = np.concatenate(mels, axis=0)
+        t_model = time.perf_counter() - t0
+        stats = {
+            "frontend_s": t_frontend, "model_s": t_model,
+            "frames": int(full.shape[0]),
+            "msec_per_frame": 1000.0 * t_model / max(full.shape[0], 1),
+        }
+        return full, stats
+
+
+def vocode(mel: np.ndarray, cfg: Config, vocoder: Optional[object] = None,
+           gl_iters: int = 30) -> np.ndarray:
+    """(L, n_mels) log-mel -> float waveform. Uses the given neural vocoder
+    (callable mel->wav) when provided, else Griffin-Lim over the approximate
+    inverse mel (reference inference.py:180-199)."""
+    if vocoder is not None:
+        return np.asarray(vocoder(mel))
+    from fastspeech2_tpu.audio.griffin_lim import griffin_lim
+    from fastspeech2_tpu.audio.stft import mel_filterbank
+
+    a = cfg.audio
+    fb = mel_filterbank(a.sample_rate, a.n_fft, a.n_mels, a.fmin, a.fmax)
+    # least-squares pseudo-inverse mel -> linear magnitude
+    inv = np.linalg.pinv(fb)
+    mag = np.maximum(inv @ np.exp(mel.T), 0.0)  # (n_freq, L)
+    wav = griffin_lim(jnp.asarray(mag[None]), n_iters=gl_iters,
+                      n_fft=a.n_fft, hop_length=a.hop_length,
+                      win_length=a.win_length)
+    return np.asarray(wav)[0]
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
+    """int16 PCM wav (reference inference.py:200-201), via scipy."""
+    from scipy.io.wavfile import write
+
+    peak = np.abs(wav).max()
+    if peak > 1.0:
+        wav = wav / peak
+    write(path, sample_rate, (wav * 32767.0).astype(np.int16))

@@ -154,6 +154,8 @@ def encoder_apply(
     rng: Optional[Array] = None,
     deterministic: bool = True,
     conv_mask: Optional[Array] = None,
+    lengths: Optional[Array] = None,
+    fused_attention: bool = False,
 ) -> Array:
     """Run the FFT-block stack.
 
@@ -161,9 +163,13 @@ def encoder_apply(
         xs: (B, T) int token ids for input_layer="embed", else (B, T, idim).
         mask: (B, T, T) bool self-attention mask (True=valid) or None.
         conv_mask: (B, T) bool row validity for exact-unpadded conv masking.
+        lengths: (B,) true lengths; required for fused_attention.
+        fused_attention: use the Pallas fused-attention kernel (deterministic
+            path only -- attention dropout needs the XLA path).
     Returns:
         (B, T, attention_dim) hidden states.
     """
+    use_fused = fused_attention and deterministic and lengths is not None
     n_rngs = 2 + 4 * cfg.num_blocks
     rngs = (jax.random.split(rng, n_rngs) if rng is not None
             else [None] * n_rngs)
@@ -184,11 +190,17 @@ def encoder_apply(
     for layer in params["layers"]:
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
-        att = mha_apply(
-            layer["attn"], y, y, y, mask, cfg.attention_heads,
-            dropout_rate=cfg.attention_dropout_rate, dropout_key=next(r),
-            deterministic=deterministic,
-        )
+        if use_fused:
+            from fastspeech2_tpu.ops.pallas.attention import mha_fused_apply
+
+            att = mha_fused_apply(layer["attn"], y, lengths, cfg.attention_heads)
+            next(r)
+        else:
+            att = mha_apply(
+                layer["attn"], y, y, y, mask, cfg.attention_heads,
+                dropout_rate=cfg.attention_dropout_rate, dropout_key=next(r),
+                deterministic=deterministic,
+            )
         if cfg.concat_after:
             x = residual + nn.linear(layer["concat"], jnp.concatenate([y, att], axis=-1))
             next(r)

@@ -174,13 +174,22 @@ class FastSpeech2:
 
     # -- shared trunk --------------------------------------------------------
 
+    def _use_fused_attention(self) -> bool:
+        fa = self.cfg.model.fused_attention
+        if fa == "on":
+            return True
+        if fa == "off":
+            return False
+        return jax.default_backend() == "tpu"
+
     def _decode(self, params, state, hs, h_mask_2d, conv_mask, *,
-                rngs, training) -> Tuple[Array, Array, dict]:
+                rngs, training, lengths=None) -> Tuple[Array, Array, dict]:
         """Decoder + feat_out + postnet. h_mask_2d: (B,L,L) attn mask or None;
         conv_mask: (B,L) validity for exact-unpadded conv masking or None."""
         zs = encoder_apply(params["decoder"], self.decoder_cfg, hs, h_mask_2d,
                            rng=rngs.get("decoder"), deterministic=not training,
-                           conv_mask=conv_mask)
+                           conv_mask=conv_mask, lengths=lengths,
+                           fused_attention=self._use_fused_attention())
         before = nn.linear(params["feat_out"], zs)
         B = before.shape[0]
         before = before.reshape(B, -1, self.odim)
@@ -300,7 +309,8 @@ class FastSpeech2:
         x_masks = attention_mask(ilens, T)
 
         hs = encoder_apply(params["encoder"], self.encoder_cfg, xs, x_masks,
-                           conv_mask=tok_mask)
+                           conv_mask=tok_mask, lengths=ilens,
+                           fused_attention=self._use_fused_attention())
 
         d_outs = duration_inference_apply(
             params["duration_predictor"], self.duration_cfg, hs, tok_mask,
@@ -325,7 +335,8 @@ class FastSpeech2:
 
         h_masks = attention_mask(out_lens, out_maxlen)
         before, after, _ = self._decode(
-            params, state, hs2, h_masks, frame_mask, rngs={}, training=False)
+            params, state, hs2, h_masks, frame_mask, rngs={}, training=False,
+            lengths=out_lens)
         after = jnp.where(frame_mask[..., None], after, 0.0)
         return after, out_lens, d_outs
 

@@ -1,0 +1,51 @@
+"""Mesh utilities: multi-host init, batch sharding, sharded inference.
+
+TPU-native replacement for the distributed layer the reference lacks
+(SURVEY.md 2.8): ``jax.distributed.initialize`` for multi-host process setup,
+a 1-D ``Mesh('data')``, NamedSharding placement for host-local batches, and
+GSPMD-sharded inference. Gradient all-reduce (psum) is inserted by the SPMD
+partitioner inside the jitted train step (train/step.py:shard_train_step).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize JAX's multi-host runtime (no-op for single-process runs).
+
+    On TPU pods the three arguments are auto-detected from the environment;
+    pass them explicitly for CPU/GPU multi-process simulation.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-local batch with its leading axis sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_inference_fn(infer_fn, mesh: Mesh):
+    """Jit an inference fn (params, state, xs, ilens) -> outputs with the batch
+    axis sharded over 'data' and params replicated."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        infer_fn,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=data,
+    )

@@ -1,0 +1,104 @@
+"""Checkpointing: params + optimizer state + step + config snapshot.
+
+Equivalent of the reference's ``torch.save({model, optim, step, hp_str, githash})``
+(``train_fastspeech.py:229-244``) as a single .npz with path-flattened pytree
+leaves -- dependency-free, atomic (write + rename), and multi-host safe
+(only host 0 writes; see train/loop.py). The config snapshot enables
+reconstruction without the original YAML (== ``load_hparam_str``,
+reference inference.py:149-152).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from fastspeech2_tpu.config import Config
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_into(template, flat: dict):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in leaves_with_path:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = flat[key]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(leaf)}")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def git_hash() -> str:
+    """Code-version provenance (reference utils/util.py:571-573)."""
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return "unknown"
+
+
+def save_checkpoint(path: str, params, model_state, opt_state, step: int,
+                    cfg: Config) -> None:
+    """Atomic single-file checkpoint write."""
+    payload = {}
+    for prefix, tree in (("params", params), ("state", model_state),
+                         ("opt", opt_state)):
+        for k, v in _flatten(tree).items():
+            payload[f"{prefix}::{k}"] = v
+    meta = json.dumps({"step": int(step), "hp_yaml": cfg.to_yaml(),
+                       "githash": git_hash(), "format": 1})
+    payload["__meta__"] = np.frombuffer(meta.encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
+                               suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(
+    path: str, params_template, state_template, opt_template,
+) -> Tuple[Any, Any, Any, int, Config]:
+    """Load into the given pytree templates; returns
+    (params, model_state, opt_state, step, cfg)."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {"params": {}, "state": {}, "opt": {}}
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        for k in z.files:
+            if k == "__meta__":
+                continue
+            prefix, rest = k.split("::", 1)
+            flat[prefix][rest] = z[k]
+    params = _unflatten_into(params_template, flat["params"])
+    state = _unflatten_into(state_template, flat["state"])
+    opt = _unflatten_into(opt_template, flat["opt"])
+    cfg = Config.from_yaml(meta["hp_yaml"])
+    return params, state, opt, meta["step"], cfg
+
+
+def load_checkpoint_meta(path: str) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        return json.loads(bytes(z["__meta__"]).decode())

@@ -1,0 +1,181 @@
+"""Training loop (reference ``/root/reference/train_fastspeech.py:26-250``).
+
+Structure per epoch: bucketed batches -> jitted accumulate+clip+step -> periodic
+scalar metrics (summary_interval), teacher-forced validation (validation_step),
+checkpoint + predictor evaluation (save_interval). Multi-host: every host runs
+the same loop on its batch shard; host 0 writes checkpoints/metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastspeech2_tpu.config import Config
+from fastspeech2_tpu.data.batching import BucketBatcher
+from fastspeech2_tpu.data.dataset import TTSDataset
+from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+from fastspeech2_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from fastspeech2_tpu.train.metrics import MetricsWriter, Throughput
+from fastspeech2_tpu.train.optimizer import make_optimizer
+from fastspeech2_tpu.train.step import (
+    TrainState,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    shard_train_step,
+)
+
+log = logging.getLogger("fastspeech2_tpu.train")
+
+
+def evaluate_predictors(model: FastSpeech2, ts: TrainState,
+                        valid_ds: TTSDataset) -> dict:
+    """Per-utterance teacher-forced L1 of duration/energy/pitch predictions
+    (reference evaluation.py:12-41)."""
+    from fastspeech2_tpu.data.batching import pad_batch
+    from fastspeech2_tpu.models.predictors import (
+        duration_train_apply, variance_train_apply)
+    from fastspeech2_tpu.models.encoder import encoder_apply
+    from fastspeech2_tpu.ops import attention_mask, make_non_pad_mask
+    from fastspeech2_tpu.ops.length_regulator import regulate_length
+
+    utts = [valid_ds[i] for i in range(len(valid_ds))]
+    # one static shape for the whole pass: per-utterance shapes would trigger a
+    # recompile each (the reference loops bs=1 dynamic shapes, evaluation.py:24)
+    T = max(len(u.tokens) for u in utts)
+    L = max(u.mel.shape[0] for u in utts)
+
+    @jax.jit
+    def one(params, b):
+        tok_mask = make_non_pad_mask(b.ilens, T)
+        mel_mask = make_non_pad_mask(b.olens, L)
+        hs = encoder_apply(params["encoder"], model.encoder_cfg, b.xs,
+                           attention_mask(b.ilens, T))
+        d_outs = duration_train_apply(params["duration_predictor"],
+                                      model.duration_cfg, hs, tok_mask)
+        hs_e, _, _ = regulate_length(hs, b.ds, tok_mask, L)
+        e_outs = variance_train_apply(params["energy_predictor"],
+                                      model.variance_cfg, hs_e, mel_mask)
+        p_outs = variance_train_apply(params["pitch_predictor"],
+                                      model.variance_cfg, hs_e, mel_mask)
+        # per-utterance mean over the padded grid == reference's bs=1 L1 means
+        # up to the zero-padded tail, which both sides zero identically
+        nd = jnp.maximum(tok_mask.sum(), 1)
+        nf = jnp.maximum(mel_mask.sum(), 1)
+        return (jnp.sum(jnp.abs(d_outs - b.ds) * tok_mask) / nd,
+                jnp.sum(jnp.abs(e_outs - b.es) * mel_mask) / nf,
+                jnp.sum(jnp.abs(p_outs - b.ps) * mel_mask) / nf)
+
+    d_l, e_l, p_l = [], [], []
+    for u in utts:
+        b = jax.tree.map(jnp.asarray, pad_batch([u], T, L))
+        d, e, p = one(ts.params, b)
+        d_l.append(float(d)); e_l.append(float(e)); p_l.append(float(p))
+    return {"Dur_Loss": float(np.mean(d_l)), "Energy_Loss": float(np.mean(e_l)),
+            "Pitch_Loss": float(np.mean(p_l))}
+
+
+def train(cfg: Config, name: str, outdir: str,
+          resume_path: Optional[str] = None,
+          max_steps: Optional[int] = None,
+          data_dir: Optional[str] = None) -> TrainState:
+    """Run training; returns the final TrainState."""
+    host_id = jax.process_index()
+    num_hosts = jax.process_count()
+    is_host0 = host_id == 0
+
+    data_dir = data_dir or cfg.data.data_dir
+    train_ds = TTSDataset(data_dir, cfg.data.train_filelist,
+                          cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
+    valid_ds = TTSDataset(data_dir, cfg.data.valid_filelist,
+                          cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
+
+    model = FastSpeech2(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(cfg.train.seed))
+    opt = make_optimizer(cfg)
+    ts = TrainState(params, mstate, opt.init(params), jnp.asarray(0, jnp.int32))
+    step0 = 0
+    if resume_path:
+        p, s, o, step0, _ = load_checkpoint(
+            resume_path, ts.params, ts.model_state, ts.opt_state)
+        ts = TrainState(jax.tree.map(jnp.asarray, p), jax.tree.map(jnp.asarray, s),
+                        jax.tree.map(jnp.asarray, o),
+                        jnp.asarray(step0, jnp.int32))
+        log.info("resumed from %s at step %d", resume_path, step0)
+
+    accum = cfg.train.accum_grad
+    # the data axis must divide both the accumulation-window batch and each
+    # micro-batch; size the mesh accordingly (normally batch_size % n_dev == 0)
+    n_dev = len(jax.devices())
+    dp = next(d for d in range(min(n_dev, cfg.train.batch_size), 0, -1)
+              if cfg.train.batch_size % d == 0)
+    if dp != n_dev:
+        log.warning("using %d of %d devices (batch_size %d not divisible)",
+                    dp, n_dev, cfg.train.batch_size)
+    mesh = make_mesh(dp)
+    step_fn = shard_train_step(make_train_step(model, opt, accum), mesh)
+    eval_fn = jax.jit(make_eval_step(model))
+
+    batcher = BucketBatcher(
+        train_ds, batch_size=cfg.train.batch_size * accum,
+        max_frames=cfg.train.tts_max_mel_len, seed=cfg.train.seed,
+        host_id=host_id, num_hosts=num_hosts)
+
+    ckpt_dir = os.path.join(outdir, "checkpoints", name)
+    metrics = MetricsWriter(os.path.join(outdir, "logs", name)) if is_host0 else None
+    tput = Throughput(cfg.audio.hop_length, cfg.audio.sample_rate)
+    rng = jax.random.PRNGKey(cfg.train.seed + host_id)
+
+    step = step0
+    with mesh:
+        for epoch in range(10 ** 9):
+            t_epoch = time.time()
+            for batch, _shape in batcher.epoch(epoch):
+                rng, sub = jax.random.split(rng)
+                batch = jax.tree.map(jnp.asarray, batch)
+                ts, report = step_fn(ts, batch, sub)
+                step = int(ts.step)
+                tput.add(int(np.sum(batch.olens)))
+
+                if is_host0 and step % cfg.train.summary_interval == 0:
+                    scalars = {k: float(v) for k, v in report.items()}
+                    scalars.update(tput.report())
+                    metrics.scalars(step, scalars, prefix="main")
+                    tput.reset()
+                    log.info("step %d loss %.4f", step, scalars["loss"])
+
+                if step % cfg.train.validation_step == 0:
+                    vloss = []
+                    for vb, _ in BucketBatcher(
+                            valid_ds, batch_size=min(len(valid_ds), 2),
+                            seed=0, drop_remainder=False).epoch(0):
+                        vr = eval_fn(ts, jax.tree.map(jnp.asarray, vb))
+                        vloss.append(float(vr["loss"]))
+                    if is_host0 and vloss:
+                        metrics.scalars(step, {"loss": float(np.mean(vloss))},
+                                        prefix="validation")
+
+                if is_host0 and step % cfg.train.save_interval == 0:
+                    path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
+                    save_checkpoint(path, ts.params, ts.model_state,
+                                    ts.opt_state, step, cfg)
+                    ev = evaluate_predictors(model, ts, valid_ds)
+                    metrics.scalars(step, ev, prefix="evaluation")
+                    log.info("saved %s", path)
+
+                if max_steps is not None and step - step0 >= max_steps:
+                    if is_host0:
+                        save_checkpoint(
+                            os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz"),
+                            ts.params, ts.model_state, ts.opt_state, step, cfg)
+                    return ts
+            log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
+            if epoch + 1 >= cfg.train.epochs:
+                return ts

@@ -1,0 +1,40 @@
+"""Noam-scheduled Adam (reference ``/root/reference/core/optimizer.py``).
+
+lr(step) = factor * d_model^-0.5 * min(step^-0.5, step * warmup^-1.5)
+with Adam(betas=(0.9, 0.98), eps=1e-9) and global-norm clipping 1.0 applied
+before the update (reference ``train_fastspeech.py:123-131``). Steps are
+1-based like the reference's ``NoamOpt._step``.
+
+Non-finite gradients skip the update entirely, replicating the reference's
+NaN-grad-norm step skip (train_fastspeech.py:127-128), via
+``optax.apply_if_finite``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from fastspeech2_tpu.config import Config
+
+
+def noam_schedule(d_model: int, warmup: int, factor: float):
+    def lr(step):
+        s = jnp.maximum(step, 1).astype(jnp.float32)
+        return factor * d_model ** -0.5 * jnp.minimum(s ** -0.5, s * warmup ** -1.5)
+    return lr
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    m = cfg.model
+    schedule = noam_schedule(m.adim, m.transformer_warmup_steps, m.transformer_lr)
+
+    def scaled_schedule(count):
+        return schedule(count + 1)  # optax count starts at 0; NoamOpt at 1
+
+    inner = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
+        optax.scale_by_learning_rate(scaled_schedule),
+    )
+    return optax.apply_if_finite(inner, max_consecutive_errors=100000)

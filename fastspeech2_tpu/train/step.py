@@ -1,0 +1,109 @@
+"""The jitted training step: grad accumulation, clipping, NaN-skip, data
+parallelism via GSPMD sharding annotations.
+
+TPU-first redesign of the reference loop body (``train_fastspeech.py:88-131``):
+instead of a Python micro-batch loop with ``.backward()`` every iteration, the
+whole accumulation window is one jitted step -- a ``lax.scan`` over micro-batches
+accumulating gradients on-device, then clip -> Noam-Adam -> apply. Under a
+``jax.sharding.Mesh`` the batch axis is sharded over devices; XLA's SPMD
+partitioner inserts the psum gradient all-reduce over ICI automatically
+(SURVEY.md 2.8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastspeech2_tpu.models.fastspeech2 import Batch, FastSpeech2
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: dict
+    model_state: dict      # postnet BatchNorm running stats
+    opt_state: optax.OptState
+    step: Array            # int32 scalar
+
+
+def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
+                    accum_grad: int = 1):
+    """Build the (unjitted) train step fn: (TrainState, Batch, rng) ->
+    (TrainState, report-dict).
+
+    The incoming Batch is the full accumulation window; leaves are reshaped to
+    (accum_grad, micro_batch, ...) and scanned. Each micro-batch loss is scaled
+    by 1/accum_grad like the reference (train_fastspeech.py:109-119).
+    """
+
+    def loss_fn(params, model_state, micro: Batch, rng):
+        loss, report, new_state = model.forward(
+            params, model_state, micro, rng=rng, training=True)
+        return loss / accum_grad, (report, new_state)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(ts: TrainState, batch: Batch, rng: Array):
+        micros = jax.tree.map(
+            lambda x: x.reshape((accum_grad, x.shape[0] // accum_grad) + x.shape[1:]),
+            batch)
+
+        def micro_step(carry, inp):
+            grads_acc, model_state = carry
+            micro, mrng = inp
+            (_, (report, new_state)), grads = grad_fn(
+                ts.params, model_state, micro, mrng)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_state), report
+
+        zeros = jax.tree.map(jnp.zeros_like, ts.params)
+        rngs = jax.random.split(rng, accum_grad)
+        (grads, new_model_state), reports = jax.lax.scan(
+            micro_step, (zeros, ts.model_state), (micros, rngs))
+
+        updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        report = jax.tree.map(jnp.mean, reports)
+        report["grad_norm"] = optax.global_norm(grads)
+        new_ts = TrainState(new_params, new_model_state, new_opt_state, ts.step + 1)
+        return new_ts, report
+
+    return train_step
+
+
+def make_eval_step(model: FastSpeech2):
+    """Teacher-forced validation step (no dropout, BN running stats)."""
+
+    def eval_step(ts: TrainState, batch: Batch):
+        loss, report, _ = model.forward(ts.params, ts.model_state, batch,
+                                        training=False)
+        return report
+
+    return eval_step
+
+
+def shard_train_step(train_step, mesh: Mesh):
+    """Jit a train step with GSPMD data-parallel shardings: state replicated,
+    batch sharded on its leading axis over the 'data' mesh axis."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the visible devices (SURVEY.md 2.8: the
+    25.6M-param model replicates; only the batch shards)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, axis_names=("data",))

@@ -1,0 +1,183 @@
+"""MelGAN generator in JAX (the reference's external vocoder,
+``seungwonpark/melgan`` via torch.hub: reference ``inference.py:183-193``).
+
+Architecture (MelGAN paper, arXiv 1910.06711, as released by seungwonpark):
+Conv7(n_mels->512, reflect pad) then per upsample rate r in (8, 8, 2, 2):
+LeakyReLU(0.2) -> ConvTranspose1d(C -> C/2, kernel 2r, stride r, pad r/2+r%2,
+output_pad r%2) -> 3 residual dilated stacks (dilations 1, 3, 9; each
+LReLU-Conv3(dil)-LReLU-Conv1 with residual add), finishing with
+LeakyReLU -> Conv7(32->1, reflect) -> tanh. Total upsampling 256 == hop length.
+
+The torch checkpoint uses weight_norm; ``melgan_params_from_torch`` folds
+g * v / ||v|| into plain weights at load time.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Array = jax.Array
+
+LRELU_SLOPE = 0.2
+
+
+@dataclass(frozen=True)
+class MelGANConfig:
+    n_mels: int = 80
+    base_channels: int = 512
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    resstack_dilations: Tuple[int, ...] = (1, 3, 9)
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.upsample_rates))
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def _init_conv(key, in_ch, out_ch, k):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_ch * k)
+    return {"w": _uniform(kw, (k, in_ch, out_ch), bound),
+            "b": _uniform(kb, (out_ch,), bound)}
+
+
+def _conv1d_reflect(p, x, dilation: int = 1):
+    """Conv with reflect padding to SAME length (melgan uses ReflectionPad1d)."""
+    k = p["w"].shape[0]
+    pad = dilation * (k - 1) // 2
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    y = lax.conv_general_dilated(
+        x, p["w"], (1,), "VALID", rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + p["b"]
+
+
+def _conv_transpose1d(p, x, stride: int):
+    """torch ConvTranspose1d(kernel=2*stride, stride, padding=ceil(stride/2),
+    output_padding=stride%2) in NLC layout with (k, out, in)->we store (k, in, out)
+    transposed-conv weights."""
+    k = p["w"].shape[0]
+    pad = stride // 2 + stride % 2
+    out_pad = stride % 2
+    y = lax.conv_transpose(
+        x, p["w"], (stride,), padding=[(k - 1 - pad, k - 1 - pad + out_pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + p["b"]
+
+
+def init_melgan(key, cfg: MelGANConfig = MelGANConfig()):
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+    params: Dict = {"pre": _init_conv(next(ki), cfg.n_mels, cfg.base_channels, 7)}
+    blocks = []
+    ch = cfg.base_channels
+    for r in cfg.upsample_rates:
+        block = {"up": _init_conv(next(ki), ch, ch // 2, 2 * r), "stacks": []}
+        ch //= 2
+        for d in cfg.resstack_dilations:
+            block["stacks"].append({
+                "c1": _init_conv(next(ki), ch, ch, 3),
+                "c2": _init_conv(next(ki), ch, ch, 1),
+            })
+        blocks.append(block)
+    params["blocks"] = blocks
+    params["post"] = _init_conv(next(ki), ch, 1, 7)
+    return params
+
+
+class MelGANGenerator:
+    """Functional generator: (B, T, n_mels) log-mel -> (B, T*256) waveform."""
+
+    def __init__(self, cfg: MelGANConfig = MelGANConfig()):
+        self.cfg = cfg
+
+    def __call__(self, params, mel: Array) -> Array:
+        x = _conv1d_reflect(params["pre"], mel)
+        for r, block in zip(self.cfg.upsample_rates, params["blocks"]):
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = _conv_transpose1d(block["up"], x, r)
+            for d, stack in zip(self.cfg.resstack_dilations, block["stacks"]):
+                y = jax.nn.leaky_relu(x, LRELU_SLOPE)
+                y = _conv1d_reflect(stack["c1"], y, dilation=d)
+                y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                y = _conv1d_reflect(stack["c2"], y)
+                x = x + y
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = _conv1d_reflect(params["post"], x)
+        return jnp.tanh(x)[..., 0]
+
+    def inference(self, params, mel: Array, pad_frames: int = 10) -> Array:
+        """Mirror of the hub model's .inference: pad the mel tail with the
+        log-floor value (log(1e-5)) to flush the transposed-conv edge, then
+        trim (seungwonpark/melgan model/generator.py)."""
+        mel = jnp.pad(mel, ((0, 0), (0, pad_frames), (0, 0)),
+                      constant_values=math.log(1e-5))
+        wav = self(params, mel)
+        return wav[:, : -(pad_frames * self.cfg.hop_length)]
+
+
+def _fold_weight_norm(sd: Dict[str, np.ndarray], base: str) -> np.ndarray:
+    g = np.asarray(sd[f"{base}.weight_g"])
+    v = np.asarray(sd[f"{base}.weight_v"])
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def melgan_params_from_torch(sd: Dict[str, np.ndarray],
+                             cfg: MelGANConfig = MelGANConfig()) -> Dict:
+    """Translate the seungwonpark/melgan generator state_dict (weight-normed,
+    Sequential index naming ``generator.{i}...``) into our params tree.
+
+    Layout transforms: Conv1d (out,in,k)->(k,in,out); ConvTranspose1d
+    (in,out,k)->(k,in,out).
+    """
+    sd = {k.replace("generator.", "", 1) if k.startswith("generator.") else k: v
+          for k, v in sd.items()}
+
+    def conv(base):
+        w = _fold_weight_norm(sd, base)  # (out,in,k)
+        return {"w": np.ascontiguousarray(w.transpose(2, 1, 0)),
+                "b": np.asarray(sd[f"{base}.bias"])}
+
+    def convT(base):
+        w = _fold_weight_norm(sd, base)  # (in,out,k)
+        # torch ConvTranspose applies the spatially-flipped kernel relative to
+        # lax.conv_transpose's convention -> flip on translation
+        return {"w": np.ascontiguousarray(w.transpose(2, 0, 1)[::-1]),
+                "b": np.asarray(sd[f"{base}.bias"])}
+
+    # Sequential layout of seungwonpark's Generator:
+    # 0 ReflectionPad, 1 Conv7, then per rate: LeakyReLU, ConvT, 3x ResStack,
+    # finally LeakyReLU, ReflectionPad, Conv7, Tanh.
+    params: Dict = {"pre": conv("1")}
+    idx = 2
+    blocks = []
+    for r in cfg.upsample_rates:
+        idx += 1          # LeakyReLU
+        block = {"up": convT(str(idx)), "stacks": []}
+        idx += 1
+        for j, d in enumerate(cfg.resstack_dilations):
+            base = f"{idx}.blocks.{j}"
+            block["stacks"].append({
+                # ResStack block Sequential: 0 LReLU, 1 ReflectionPad, 2 Conv3,
+                # 3 LReLU, 4 Conv1
+                "c1": conv(f"{base}.2"),
+                "c2": conv(f"{base}.4"),
+            })
+        idx += 1
+        blocks.append(block)
+    params["blocks"] = blocks
+    idx += 2              # LeakyReLU, ReflectionPad
+    params["post"] = conv(str(idx))
+    return params

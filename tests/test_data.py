@@ -1,0 +1,120 @@
+"""Data pipeline tests: filelist parsing (against the real reference
+valid_filelist), outlier filter parity, dataset invariants, bucketed batching
+determinism and multi-host alignment."""
+
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.data import (
+    BucketBatcher,
+    TTSDataset,
+    pad_batch,
+    parse_filelist,
+    remove_outlier,
+)
+from fastspeech2_tpu.data.dataset import write_fake_feature_store
+
+VALID_FILELIST = "/root/reference/filelists/valid_filelist.txt"
+
+
+def test_parse_reference_valid_filelist():
+    entries = parse_filelist(VALID_FILELIST)
+    assert len(entries) == 10
+    e = entries[0]
+    assert e.utt_id == "LJ001-0001"
+    assert e.phonemes[0] == "P" and e.phonemes[-1] == "N"
+    # the field is frame *boundaries*: one more entry than durations
+    assert len(e.start_positions) in (len(e.durations), len(e.durations) + 1)
+    assert all(d >= 0 for d in e.durations)
+    # durations may be longer than phonemes; the dataset truncates + absorbs
+    assert len(e.durations) >= len(e.phonemes) - 1
+
+
+def test_remove_outlier_matches_reference_quirk():
+    # reference utils/util.py:34-49: outliers -> 0 then -> max(after zeroing);
+    # original zeros stay zero
+    x = np.array([0.0, 1.0, 1.1, 0.9, 1.05, 50.0, 1.2], np.float32)
+    out = remove_outlier(x.copy())
+    # 50.0 is the outlier; max after zeroing it is 1.2
+    np.testing.assert_allclose(out, [0.0, 1.0, 1.1, 0.9, 1.05, 1.2, 1.2])
+
+
+def test_remove_outlier_reference_exec_parity(rng):
+    """Run the actual reference remove_outlier as oracle."""
+    import sys
+    import types
+    sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from utils.util import remove_outlier as ref_remove_outlier
+
+    for _ in range(5):
+        x = rng.uniform(0, 30, 64).astype(np.float32)
+        x[rng.integers(0, 64, 5)] = 0.0
+        x[rng.integers(0, 64, 2)] *= 50
+        ours = remove_outlier(x.copy())
+        theirs = ref_remove_outlier(x.copy())
+        np.testing.assert_allclose(ours, theirs)
+
+
+@pytest.fixture(scope="module")
+def fake_store(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("store"))
+    filelist = write_fake_feature_store(root, n_utts=12, seed=3)
+    return root, filelist
+
+
+def test_dataset_invariants(fake_store):
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    assert len(ds) == 12
+    u = ds[0]
+    assert u.durations.sum() == u.mel.shape[0] == len(u.energy) == len(u.pitch)
+    assert u.mel.shape[1] == 80
+    assert u.tokens.dtype == np.int32
+
+
+def test_pad_batch_shapes(fake_store):
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    utts = [ds[i] for i in range(4)]
+    b = pad_batch(utts, t_pad=32, l_pad=128)
+    assert b.xs.shape == (4, 32) and b.ys.shape == (4, 128, 80)
+    for i, u in enumerate(utts):
+        assert b.ilens[i] == len(u.tokens)
+        assert b.olens[i] == u.mel.shape[0]
+        np.testing.assert_array_equal(b.xs[i, : b.ilens[i]], u.tokens)
+        assert np.all(b.xs[i, b.ilens[i]:] == 0)
+        assert b.ds[i].sum() == b.olens[i]
+
+
+def test_batcher_determinism_and_host_sharding(fake_store):
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    mk = lambda host, n_hosts: BucketBatcher(  # noqa: E731
+        ds, batch_size=2, host_id=host, num_hosts=n_hosts, seed=5,
+        token_multiple=8, frame_multiple=32)
+
+    a1 = [(b.xs.tobytes(), shape) for b, shape in mk(0, 1).epoch(0)]
+    a2 = [(b.xs.tobytes(), shape) for b, shape in mk(0, 1).epoch(0)]
+    assert a1 == a2, "same (seed, epoch) must give identical batches"
+    a3 = [(b.xs.tobytes(), shape) for b, shape in mk(0, 1).epoch(1)]
+    assert a1 != a3, "different epochs must shuffle differently"
+
+    # two hosts take disjoint equal shares, together covering host-0's stream
+    h0 = [(b.xs.tobytes()) for b, _ in mk(0, 2).epoch(0)]
+    h1 = [(b.xs.tobytes()) for b, _ in mk(1, 2).epoch(0)]
+    assert len(h0) == len(h1)
+    assert not set(h0) & set(h1)
+
+
+def test_batcher_static_shape_quantization(fake_store):
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    shapes = set()
+    for b, (t, l) in BucketBatcher(ds, batch_size=2, token_multiple=8,
+                                   frame_multiple=32).epoch(0):
+        assert b.xs.shape[1] == t and b.ys.shape[1] == l
+        assert t % 8 == 0 and l % 32 == 0
+        shapes.add((t, l))
+    assert len(shapes) <= 4, "bucketing should keep the shape set small"
