@@ -104,7 +104,36 @@ def cmd_train(args):
     _setup_logging(args.outdir, args.name)
     cfg = load_config(args.config)
     train(cfg, args.name, args.outdir, resume_path=args.checkpoint_path,
-          max_steps=args.max_steps, data_dir=args.data_dir)
+          max_steps=args.max_steps, data_dir=args.data_dir,
+          profile_dir=args.profile_dir)
+
+
+def cmd_gta(args):
+    """Ground-truth-aligned mel dump for vocoder finetuning (working version
+    of the reference's broken create_gta)."""
+    import jax
+
+    from fastspeech2_tpu.config import Config, load_config
+    from fastspeech2_tpu.data.dataset import TTSDataset
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.train.checkpoint import (load_checkpoint,
+                                                  load_checkpoint_meta)
+    from fastspeech2_tpu.train.gta import generate_gta
+    from fastspeech2_tpu.train.optimizer import make_optimizer
+
+    _setup_logging(None)
+    if args.config:
+        cfg = load_config(args.config)
+    else:  # rebuild from the checkpoint's embedded config (== hp_str)
+        cfg = Config.from_yaml(load_checkpoint_meta(args.checkpoint_path)["hp_yaml"])
+    model = FastSpeech2(cfg)
+    p0, s0 = model.init(jax.random.PRNGKey(0))
+    opt_t = make_optimizer(cfg).init(p0)
+    params, state, _, _, cfg = load_checkpoint(args.checkpoint_path, p0, s0, opt_t)
+    ds = TTSDataset(args.data_dir or cfg.data.data_dir,
+                    args.filelist or cfg.data.train_filelist,
+                    cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
+    generate_gta(model, jax.tree.map(np.asarray, params), state, ds, args.out)
 
 
 def cmd_synth(args):
@@ -207,7 +236,17 @@ def main(argv=None):
     sp.add_argument("-p", "--checkpoint_path", default=None)
     sp.add_argument("-d", "--data_dir", default=None)
     sp.add_argument("--max_steps", type=int, default=None)
+    sp.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace here")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("gta")
+    sp.add_argument("-p", "--checkpoint_path", required=True)
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("-d", "--data_dir", default=None)
+    sp.add_argument("--filelist", default=None)
+    sp.add_argument("-o", "--out", required=True)
+    sp.set_defaults(fn=cmd_gta)
 
     sp = sub.add_parser("synth")
     sp.add_argument("-p", "--checkpoint_path", default=None)

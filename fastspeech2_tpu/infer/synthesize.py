@@ -33,21 +33,28 @@ class Synthesizer:
 
     def __init__(self, model: FastSpeech2, params, state,
                  token_multiple: int = 32, frames_per_token: int = 12,
-                 max_frames: int = 2048):
+                 max_frames: int = 2048, bf16: bool = False):
         self.model = model
         self.params = params
         self.state = state
         self.token_multiple = token_multiple
         self.frames_per_token = frames_per_token
         self.max_frames = max_frames
+        self.bf16 = bf16  # speed config: bf16 matmuls, f32 accum/softmax/LN
         self._jitted = {}
 
     def _fn(self, t_pad: int, l_pad: int):
         key = (t_pad, l_pad)
         if key not in self._jitted:
+            from fastspeech2_tpu.ops.precision import compute_dtype
+            import jax.numpy as _jnp
+
+            dt = _jnp.bfloat16 if self.bf16 else None
+
             def infer(params, state, xs, ilens, alpha):
-                return self.model.inference(params, state, xs, ilens,
-                                            out_maxlen=l_pad, alpha=alpha)
+                with compute_dtype(dt):
+                    return self.model.inference(params, state, xs, ilens,
+                                                out_maxlen=l_pad, alpha=alpha)
             self._jitted[key] = jax.jit(infer, static_argnames=("alpha",))
         return self._jitted[key]
 

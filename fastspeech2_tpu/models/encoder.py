@@ -169,7 +169,11 @@ def encoder_apply(
     Returns:
         (B, T, attention_dim) hidden states.
     """
-    use_fused = fused_attention and deterministic and lengths is not None
+    # fused kernel only for MXU-friendly head dims (d_k >= 128); tiny head
+    # dims compile poorly in Mosaic and the XLA path is fine there
+    d_k = cfg.attention_dim // cfg.attention_heads
+    use_fused = (fused_attention and deterministic and lengths is not None
+                 and d_k >= 128)
     n_rngs = 2 + 4 * cfg.num_blocks
     rngs = (jax.random.split(rng, n_rngs) if rng is not None
             else [None] * n_rngs)

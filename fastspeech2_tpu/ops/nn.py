@@ -73,8 +73,12 @@ def init_batch_norm(dim: int, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def linear(p, x: Array) -> Array:
-    """x @ w + b over the last axis."""
-    return jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+    """x @ w + b over the last axis (bf16 operands under a compute_dtype
+    context, f32 accumulation -- ops/precision.py)."""
+    from fastspeech2_tpu.ops.precision import matmul_operands
+
+    xc, wc, acc = matmul_operands(x, p["w"])
+    return jnp.dot(xc, wc, preferred_element_type=acc).astype(x.dtype) + p["b"]
 
 
 def conv1d(p, x: Array, *, padding: str = "SAME") -> Array:
@@ -83,10 +87,14 @@ def conv1d(p, x: Array, *, padding: str = "SAME") -> Array:
     'SAME' matches torch Conv1d with padding=(k-1)//2 for odd k (the only case
     the reference uses: k in {1,3,5,9}).
     """
+    from fastspeech2_tpu.ops.precision import matmul_operands
+
+    xc, wc, acc = matmul_operands(x, p["w"])
     y = lax.conv_general_dilated(
-        x, p["w"], window_strides=(1,), padding=padding,
+        xc, wc, window_strides=(1,), padding=padding,
         dimension_numbers=("NHC", "HIO", "NHC"),
-    )
+        preferred_element_type=acc,
+    ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"]
     return y

@@ -82,11 +82,37 @@ def evaluate_predictors(model: FastSpeech2, ts: TrainState,
             "Pitch_Loss": float(np.mean(p_l))}
 
 
+def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg):
+    """Free-running inference on one valid utterance + mel images to TB
+    (reference train_fastspeech.py:167-219)."""
+    from fastspeech2_tpu.data.batching import pad_batch
+    from fastspeech2_tpu.utils.plotting import plot_spectrogram_to_numpy
+
+    u = valid_ds[0]
+    T = len(u.tokens)
+    L = max(u.mel.shape[0] * 2, 64)
+    mel, out_lens, _ = model.inference(
+        ts.params, ts.model_state, jnp.asarray(u.tokens[None]),
+        jnp.asarray([T], jnp.int32), out_maxlen=L)
+    pred = np.asarray(mel)[0, : int(out_lens[0])].T
+    metrics.image(step, "validation/mel_target",
+                  plot_spectrogram_to_numpy(u.mel.T))
+    if pred.shape[1] > 0:
+        metrics.image(step, "validation/mel_predicted",
+                      plot_spectrogram_to_numpy(pred))
+
+
 def train(cfg: Config, name: str, outdir: str,
           resume_path: Optional[str] = None,
           max_steps: Optional[int] = None,
-          data_dir: Optional[str] = None) -> TrainState:
-    """Run training; returns the final TrainState."""
+          data_dir: Optional[str] = None,
+          profile_dir: Optional[str] = None,
+          profile_steps: int = 5) -> TrainState:
+    """Run training; returns the final TrainState.
+
+    With ``profile_dir``, a jax.profiler trace of ``profile_steps`` steps is
+    captured once the step function is warm (the reference has no profiler at
+    all -- SURVEY.md 5)."""
     host_id = jax.process_index()
     num_hosts = jax.process_count()
     is_host0 = host_id == 0
@@ -134,15 +160,26 @@ def train(cfg: Config, name: str, outdir: str,
     rng = jax.random.PRNGKey(cfg.train.seed + host_id)
 
     step = step0
+    profiling = {"active": False, "stop_at": -1}
     with mesh:
         for epoch in range(10 ** 9):
             t_epoch = time.time()
             for batch, _shape in batcher.epoch(epoch):
+                if (profile_dir and not profiling["active"]
+                        and step >= step0 + 3):  # warm cache first
+                    jax.profiler.start_trace(profile_dir)
+                    profiling.update(active=True, stop_at=step + profile_steps)
+                    profile_dir = None  # once
                 rng, sub = jax.random.split(rng)
                 batch = jax.tree.map(jnp.asarray, batch)
                 ts, report = step_fn(ts, batch, sub)
                 step = int(ts.step)
                 tput.add(int(np.sum(batch.olens)))
+                if profiling["active"] and step >= profiling["stop_at"]:
+                    jax.block_until_ready(ts.params)
+                    jax.profiler.stop_trace()
+                    profiling["active"] = False
+                    log.info("profiler trace captured")
 
                 if is_host0 and step % cfg.train.summary_interval == 0:
                     scalars = {k: float(v) for k, v in report.items()}
@@ -161,6 +198,11 @@ def train(cfg: Config, name: str, outdir: str,
                     if is_host0 and vloss:
                         metrics.scalars(step, {"loss": float(np.mean(vloss))},
                                         prefix="validation")
+                        try:
+                            _log_validation_sample(model, ts, valid_ds,
+                                                   metrics, step, cfg)
+                        except Exception as e:  # images are best-effort
+                            log.warning("validation sample logging failed: %s", e)
 
                 if is_host0 and step % cfg.train.save_interval == 0:
                     path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")

@@ -34,6 +34,16 @@ class MetricsWriter:
             for k, v in values.items():
                 self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
+    def image(self, step: int, tag: str, img_chw):
+        """CHW uint8 image to TensorBoard (mel/waveform plots, reference
+        train_fastspeech.py:167-219). No-op without tensorboardX."""
+        if self.tb is not None:
+            self.tb.add_image(tag, img_chw, step)
+
+    def audio(self, step: int, tag: str, wav, sample_rate: int):
+        if self.tb is not None:
+            self.tb.add_audio(tag, wav[None, :], step, sample_rate=sample_rate)
+
     def close(self):
         self._f.close()
         if self.tb is not None:
