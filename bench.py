@@ -44,16 +44,25 @@ def main():
     xs = jnp.asarray(xs)
     ilens = jnp.asarray(ilens)
 
+    # speed config: bf16 matmul operands / f32 accumulation (+fused Pallas
+    # attention via fused_attention="auto" on TPU). Parity configs and tests
+    # stay f32 -- ops/precision.py, tests/test_precision.py.
+    from fastspeech2_tpu.ops.precision import compute_dtype
+
+    bf16 = jax.default_backend() == "tpu"
+
     @jax.jit
     def infer(params, state, xs, ilens):
-        mel, out_lens, _ = model.inference(params, state, xs, ilens, out_maxlen=L)
+        with compute_dtype(jnp.bfloat16 if bf16 else None):
+            mel, out_lens, _ = model.inference(params, state, xs, ilens,
+                                               out_maxlen=L)
         return mel, out_lens
 
     mel, out_lens = infer(params, state, xs, ilens)  # compile + warmup
     jax.block_until_ready(mel)
     frames_per_call = int(np.asarray(out_lens).sum())
 
-    reps = 10
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         mel, out_lens = infer(params, state, xs, ilens)

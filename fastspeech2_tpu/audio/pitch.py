@@ -6,8 +6,11 @@ preprocessing is host-side work, so:
 
 - when ``pyworld`` is importable we call it with identical arguments (exact
   parity with the reference feature store);
-- otherwise a self-contained normalized-autocorrelation tracker provides a
-  usable (NOT bit-identical) fallback so the pipeline runs hermetically.
+- otherwise the framework's own native C++ DIO-style estimator is used
+  (fastspeech2_tpu/native/dio.cc -- same interval-based algorithm family,
+  not bit-identical to WORLD);
+- a pure-Python normalized-autocorrelation tracker is the last-resort
+  fallback so the pipeline runs hermetically without a C++ toolchain.
 """
 
 from __future__ import annotations
@@ -29,7 +32,13 @@ def extract_pitch(wav: np.ndarray, sample_rate: int, hop_length: int) -> np.ndar
         )
         return f0
     except ImportError:
-        return _autocorr_pitch(wav, sample_rate, hop_length)
+        pass
+    from fastspeech2_tpu import native
+
+    if native.available():
+        return native.dio(wav, sample_rate, hop_length,
+                          F0_FLOOR, F0_CEIL).astype(np.float64)
+    return _autocorr_pitch(wav, sample_rate, hop_length)
 
 
 def _autocorr_pitch(
