@@ -72,20 +72,26 @@ def init_batch_norm(dim: int, dtype=jnp.float32):
 # apply helpers
 # ---------------------------------------------------------------------------
 
-def linear(p, x: Array) -> Array:
+def linear(p, x: Array, *, out_dtype=None) -> Array:
     """x @ w + b over the last axis (bf16 operands under a compute_dtype
-    context, f32 accumulation -- ops/precision.py)."""
+    context, f32 accumulation + f32 bias add -- ops/precision.py).
+
+    out_dtype: result dtype; defaults to x.dtype. Chained matmul/relu stacks
+    pass the compute dtype here so intermediates skip the f32 round-trip.
+    """
     from fastspeech2_tpu.ops.precision import matmul_operands
 
     xc, wc, acc = matmul_operands(x, p["w"])
-    return jnp.dot(xc, wc, preferred_element_type=acc).astype(x.dtype) + p["b"]
+    y = jnp.dot(xc, wc, preferred_element_type=acc) + p["b"].astype(acc)
+    return y.astype(out_dtype or x.dtype)
 
 
-def conv1d(p, x: Array, *, padding: str = "SAME") -> Array:
+def conv1d(p, x: Array, *, padding: str = "SAME", out_dtype=None) -> Array:
     """1-D convolution over NLC activations with (k, in, out) weights.
 
     'SAME' matches torch Conv1d with padding=(k-1)//2 for odd k (the only case
-    the reference uses: k in {1,3,5,9}).
+    the reference uses: k in {1,3,5,9}). Bias is added in the accumulation
+    dtype (f32); out_dtype as in :func:`linear`.
     """
     from fastspeech2_tpu.ops.precision import matmul_operands
 
@@ -94,10 +100,10 @@ def conv1d(p, x: Array, *, padding: str = "SAME") -> Array:
         xc, wc, window_strides=(1,), padding=padding,
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=acc,
-    ).astype(x.dtype)
+    )
     if "b" in p:
-        y = y + p["b"]
-    return y
+        y = y + p["b"].astype(acc)
+    return y.astype(out_dtype or x.dtype)
 
 
 def embedding(p, ids: Array) -> Array:

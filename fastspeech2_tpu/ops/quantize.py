@@ -34,8 +34,16 @@ def log_bins(vmin: float, vmax: float, n_bins: int = 256) -> np.ndarray:
 
 
 def bucketize(x: Array, bins: Array) -> Array:
-    """torch.bucketize(x, bins, right=False) == searchsorted(bins, x, 'left')."""
-    return jnp.searchsorted(jnp.asarray(bins), x, side="left").astype(jnp.int32)
+    """torch.bucketize(x, bins, right=False) == searchsorted(bins, x, 'left').
+
+    Computed as a broadcast compare-and-count rather than jnp.searchsorted:
+    searchsorted lowers to a sequential while-loop on TPU (~2 ms per call at
+    (32, 896) vs microseconds for the vectorized form), and with only 255
+    sorted edges counting ``bins[i] < x`` is exactly the 'left' insertion
+    index.
+    """
+    bins = jnp.asarray(bins)
+    return jnp.sum(bins < x[..., None], axis=-1, dtype=jnp.int32)
 
 
 def to_one_hot(x: Array, bins: Array, n_bins: int = 256) -> Array:
