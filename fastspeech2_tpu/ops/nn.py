@@ -74,15 +74,25 @@ def init_batch_norm(dim: int, dtype=jnp.float32):
 
 def linear(p, x: Array, *, out_dtype=None) -> Array:
     """x @ w + b over the last axis (bf16 operands under a compute_dtype
-    context, f32 accumulation + f32 bias add -- ops/precision.py).
+    context -- ops/precision.py).
+
+    Under a compute dtype the matmul runs fully in that dtype (TPU MXUs still
+    accumulate in f32 internally and round at the output) and the bias is
+    added in f32. A mixed bf16-operand/f32-output matmul would break
+    differentiation: its transpose rule feeds the f32 cotangent into a conv/
+    dot against the bf16 weight, which lax rejects.
 
     out_dtype: result dtype; defaults to x.dtype. Chained matmul/relu stacks
     pass the compute dtype here so intermediates skip the f32 round-trip.
     """
-    from fastspeech2_tpu.ops.precision import matmul_operands
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
 
-    xc, wc, acc = matmul_operands(x, p["w"])
-    y = jnp.dot(xc, wc, preferred_element_type=acc) + p["b"].astype(acc)
+    dt = current_compute_dtype()
+    if dt is None:
+        y = jnp.dot(x, p["w"], preferred_element_type=x.dtype) + p["b"]
+    else:
+        y = jnp.dot(x.astype(dt), p["w"].astype(dt))
+        y = y.astype(jnp.float32) + p["b"]
     return y.astype(out_dtype or x.dtype)
 
 
@@ -90,19 +100,22 @@ def conv1d(p, x: Array, *, padding: str = "SAME", out_dtype=None) -> Array:
     """1-D convolution over NLC activations with (k, in, out) weights.
 
     'SAME' matches torch Conv1d with padding=(k-1)//2 for odd k (the only case
-    the reference uses: k in {1,3,5,9}). Bias is added in the accumulation
-    dtype (f32); out_dtype as in :func:`linear`.
+    the reference uses: k in {1,3,5,9}). Precision/out_dtype semantics as in
+    :func:`linear`.
     """
-    from fastspeech2_tpu.ops.precision import matmul_operands
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
 
-    xc, wc, acc = matmul_operands(x, p["w"])
+    dt = current_compute_dtype()
+    xc = x if dt is None else x.astype(dt)
+    wc = p["w"] if dt is None else p["w"].astype(dt)
     y = lax.conv_general_dilated(
         xc, wc, window_strides=(1,), padding=padding,
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=acc,
     )
+    if dt is not None:
+        y = y.astype(jnp.float32)
     if "b" in p:
-        y = y + p["b"].astype(acc)
+        y = y + p["b"]
     return y.astype(out_dtype or x.dtype)
 
 

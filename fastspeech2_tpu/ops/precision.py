@@ -32,11 +32,3 @@ def compute_dtype(dtype: Optional[jnp.dtype]):
         yield
     finally:
         _state.dtype = prev
-
-
-def matmul_operands(x, w):
-    """Cast (x, w) per the active compute dtype; returns (x, w, acc_dtype)."""
-    dt = current_compute_dtype()
-    if dt is None:
-        return x, w, x.dtype
-    return x.astype(dt), w.astype(dt), jnp.float32

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 from typing import Optional
 
@@ -146,7 +147,8 @@ def train(cfg: Config, name: str, outdir: str,
         log.warning("using %d of %d devices (batch_size %d not divisible)",
                     dp, n_dev, cfg.train.batch_size)
     mesh = make_mesh(dp)
-    step_fn = shard_train_step(make_train_step(model, opt, accum), mesh)
+    step_fn = shard_train_step(
+        make_train_step(model, opt, accum, bf16=cfg.train.bf16), mesh)
     eval_fn = jax.jit(make_eval_step(model))
 
     batcher = BucketBatcher(
@@ -186,6 +188,11 @@ def train(cfg: Config, name: str, outdir: str,
                     scalars.update(tput.report())
                     metrics.scalars(step, scalars, prefix="main")
                     tput.reset()
+                    if sys.stdout.isatty():  # live bar (reference tqdm equiv)
+                        from fastspeech2_tpu.utils.display import progbar, stream
+                        total = max_steps or cfg.train.epochs * max(len(train_ds)
+                                // max(cfg.train.batch_size, 1), 1)
+                        stream(f"{progbar(step, total)} loss {scalars['loss']:.3f} ")
                     log.info("step %d loss %.4f", step, scalars["loss"])
 
                 if step % cfg.train.validation_step == 0:

@@ -32,18 +32,25 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
-                    accum_grad: int = 1):
+                    accum_grad: int = 1, bf16: bool = False):
     """Build the (unjitted) train step fn: (TrainState, Batch, rng) ->
     (TrainState, report-dict).
 
     The incoming Batch is the full accumulation window; leaves are reshaped to
     (accum_grad, micro_batch, ...) and scanned. Each micro-batch loss is scaled
     by 1/accum_grad like the reference (train_fastspeech.py:109-119).
+
+    bf16 (cfg.train.bf16): matmul/conv operands in bf16 with f32 accumulation
+    for forward AND backward, while master params, optimizer state, losses,
+    layernorms, and softmax stay f32 -- the standard TPU mixed-precision
+    recipe. Default off = reference-parity f32 numerics.
     """
+    from fastspeech2_tpu.ops.precision import compute_dtype
 
     def loss_fn(params, model_state, micro: Batch, rng):
-        loss, report, new_state = model.forward(
-            params, model_state, micro, rng=rng, training=True)
+        with compute_dtype(jnp.bfloat16 if bf16 else None):
+            loss, report, new_state = model.forward(
+                params, model_state, micro, rng=rng, training=True)
         return loss / accum_grad, (report, new_state)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

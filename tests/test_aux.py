@@ -118,3 +118,22 @@ def test_gta_generation(tmp_path):
         u = ds[i]
         mel = np.load(os.path.join(out, f"{u.utt_id}.npy"))
         assert mel.shape == (80, u.mel.shape[0])
+
+
+def test_display_helpers(capsys):
+    from fastspeech2_tpu.utils.display import (progbar, simple_table, stream,
+                                               time_since)
+    import time as _time
+
+    bar = progbar(25, 100, size=16)
+    assert bar.startswith("|####") and bar.endswith("| 25/100")
+    assert progbar(0, 0).endswith("0/0")  # no div-by-zero
+    table = simple_table([("Steps", 1000), ("Batch", 16)])
+    lines = table.splitlines()
+    assert len(lines) == 5 and "Steps" in lines[1] and "16" in lines[3]
+    assert all(len(l) == len(lines[0]) for l in lines)
+    stream("hello")
+    assert capsys.readouterr().out == "\rhello"
+    assert time_since(_time.time() - 5).endswith("s")
+    assert "m" in time_since(_time.time() - 90)
+    assert "h" in time_since(_time.time() - 7200)
