@@ -53,7 +53,8 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
 
     o_ref[0, 0] = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        attn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
@@ -92,16 +93,23 @@ def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
                     *, interpret: bool = False) -> Array:
     """Full MHA (QKV projections + fused kernel + output projection) for the
     self-attention case. Drop-in for ops.attention.mha_apply on the
-    deterministic path when a lengths vector describes the mask."""
+    deterministic path when a lengths vector describes the mask.
+
+    Under a bf16 compute dtype the projections emit bf16 so the kernel's QK
+    and PV matmuls run at full MXU rate, with the softmax kept in f32
+    (flash-attention-style numerics)."""
     from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
 
     B, T, D = x.shape
     dk = D // n_heads
+    dt = current_compute_dtype() or x.dtype
 
     def proj(p):
-        return nn.linear(p, x).reshape(B, T, n_heads, dk).transpose(0, 2, 1, 3)
+        return nn.linear(p, x, out_dtype=dt).reshape(
+            B, T, n_heads, dk).transpose(0, 2, 1, 3)
 
     o = fused_attention(proj(params["q"]), proj(params["k"]), proj(params["v"]),
                         lengths, interpret=interpret)
     o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
-    return nn.linear(params["out"], o)
+    return nn.linear(params["out"], o, out_dtype=x.dtype)
