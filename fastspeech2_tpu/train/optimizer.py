@@ -6,12 +6,18 @@ before the update (reference ``train_fastspeech.py:123-131``). Steps are
 1-based like the reference's ``NoamOpt._step``.
 
 Non-finite gradients skip the update entirely, replicating the reference's
-NaN-grad-norm step skip (train_fastspeech.py:127-128), via
-``optax.apply_if_finite``.
+NaN-grad-norm step skip (train_fastspeech.py:127-128). Implemented as a
+single global-norm finiteness gate with elementwise selects rather than
+``optax.apply_if_finite``: the latter isfinite-reduces every gradient leaf
+and wraps the update in a lax.cond, which together cost ~5 ms/step (12%) on
+a v5e; one scalar check (CSE'd with the clipping norm) plus fused selects is
+equivalent for every gradient that can clip (NaN/inf propagates into the
+global norm) and nearly free.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -37,4 +43,28 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
         optax.scale_by_learning_rate(scaled_schedule),
     )
-    return optax.apply_if_finite(inner, max_consecutive_errors=100000)
+    return skip_nonfinite(inner)
+
+
+def skip_nonfinite(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Skip the whole update (zero updates, keep optimizer state) when the
+    gradients' global norm is non-finite (== reference's NaN-grad-norm skip,
+    train_fastspeech.py:127-128). See module docstring for why this is not
+    optax.apply_if_finite."""
+
+    def init(params):
+        return {"inner": inner.init(params),
+                "notfinite_count": jnp.zeros([], jnp.int32)}
+
+    def update(updates, state, params=None):
+        finite = jnp.isfinite(optax.global_norm(updates))
+        new_updates, new_inner = inner.update(updates, state["inner"], params)
+        sel = lambda n, o: jnp.where(finite, n, o)
+        return (
+            jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                         new_updates),
+            {"inner": jax.tree.map(sel, new_inner, state["inner"]),
+             "notfinite_count": state["notfinite_count"] + (1 - finite)},
+        )
+
+    return optax.GradientTransformation(init, update)
