@@ -39,31 +39,41 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         return schedule(count + 1)  # optax count starts at 0; NoamOpt at 1
 
     inner = optax.chain(
-        optax.clip_by_global_norm(cfg.train.grad_clip),
         optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
         optax.scale_by_learning_rate(scaled_schedule),
     )
-    return skip_nonfinite(inner)
+    return clip_and_skip_nonfinite(cfg.train.grad_clip, inner)
 
 
-def skip_nonfinite(inner: optax.GradientTransformation) -> optax.GradientTransformation:
-    """Skip the whole update (zero updates, keep optimizer state) when the
-    gradients' global norm is non-finite (== reference's NaN-grad-norm skip,
-    train_fastspeech.py:127-128). See module docstring for why this is not
-    optax.apply_if_finite."""
+def clip_and_skip_nonfinite(
+    max_norm: float, inner: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Global-norm clipping fused with the non-finite step skip.
+
+    Computes the gradient global norm ONCE and uses it for (a) torch-style
+    clipping ``g * min(1, max_norm/norm)``, (b) the reference's NaN-grad-norm
+    step skip (train_fastspeech.py:123-128), and (c) reporting -- the norm is
+    exposed as state["grad_norm"] so the train step does not recompute the
+    161-leaf reduction. See module docstring for why this replaces
+    optax.apply_if_finite + clip_by_global_norm."""
 
     def init(params):
         return {"inner": inner.init(params),
+                "grad_norm": jnp.zeros([], jnp.float32),
                 "notfinite_count": jnp.zeros([], jnp.int32)}
 
     def update(updates, state, params=None):
-        finite = jnp.isfinite(optax.global_norm(updates))
-        new_updates, new_inner = inner.update(updates, state["inner"], params)
+        norm = optax.global_norm(updates)
+        finite = jnp.isfinite(norm)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+        clipped = jax.tree.map(lambda u: u * scale, updates)
+        new_updates, new_inner = inner.update(clipped, state["inner"], params)
         sel = lambda n, o: jnp.where(finite, n, o)
         return (
             jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
                          new_updates),
             {"inner": jax.tree.map(sel, new_inner, state["inner"]),
+             "grad_norm": norm,
              "notfinite_count": state["notfinite_count"] + (1 - finite)},
         )
 

@@ -80,7 +80,8 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
         updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         report = jax.tree.map(jnp.mean, reports)
-        report["grad_norm"] = optax.global_norm(grads)
+        # the optimizer already reduced the global norm (train/optimizer.py)
+        report["grad_norm"] = new_opt_state["grad_norm"]
         new_ts = TrainState(new_params, new_model_state, new_opt_state, ts.step + 1)
         return new_ts, report
 
