@@ -156,3 +156,20 @@ class MelSpectrogram:
         # dynamic range compression (dataset/audio_processing.py:243-249)
         mel = jnp.log(jnp.clip(mel, min=self.clip_val))
         return mel, magnitude
+
+    def mel_and_energy(self, y: Array) -> Tuple[Array, Array]:
+        """(B, N) -> (log-mel (B, n_mels, F), energy (B, F)).
+
+        On TPU (n_fft == 4*hop) this runs the fused Pallas kernel
+        (ops/pallas/stft.py, ~3.5x the XLA path); elsewhere the XLA path.
+        """
+        if (jax.default_backend() == "tpu"
+                and self.n_fft == 4 * self.hop_length):
+            from fastspeech2_tpu.ops.pallas.stft import stft_mel_energy
+
+            return stft_mel_energy(
+                y, self.mel_basis, n_fft=self.n_fft,
+                hop_length=self.hop_length, win_length=self.win_length,
+                clip_val=self.clip_val)
+        mel, magnitude = self(y)
+        return mel, energy_from_magnitude(magnitude)

@@ -34,7 +34,7 @@ def cmd_preprocess(args):
     from scipy.io.wavfile import read as read_wav
 
     from fastspeech2_tpu.audio.pitch import extract_pitch
-    from fastspeech2_tpu.audio.stft import MelSpectrogram, energy_from_magnitude
+    from fastspeech2_tpu.audio.stft import MelSpectrogram
     from fastspeech2_tpu.config import load_config
 
     cfg = load_config(args.config)
@@ -56,8 +56,8 @@ def cmd_preprocess(args):
         wav = wav.astype(np.float32)
         assert sr == a.sample_rate, f"{path}: sr {sr} != {a.sample_rate}"
         p = extract_pitch(wav, a.sample_rate, a.hop_length)
-        mel, mag = mel_fn(wav[None])
-        e = np.asarray(energy_from_magnitude(mag))[0]
+        mel, e = mel_fn.mel_and_energy(wav[None])
+        e = np.asarray(e)[0]
         mel = np.asarray(mel)[0]
         p = p[: mel.shape[1]]
         utt = os.path.basename(path).split(".")[0]

@@ -46,3 +46,28 @@ def test_mha_fused_matches_mha_apply(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_fused)[1, :7],
                                np.asarray(out_xla)[1, :7], rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stft_mel_matches_xla(rng):
+    from fastspeech2_tpu.audio.stft import (MelSpectrogram,
+                                            energy_from_magnitude,
+                                            mel_filterbank)
+    from fastspeech2_tpu.ops.pallas.stft import stft_mel_energy
+
+    sr, n_fft, hop = 22050, 1024, 256
+    B, N = 2, sr  # 1 s
+    y = jnp.asarray(rng.normal(size=(B, N)) * 0.3, jnp.float32)
+
+    ms = MelSpectrogram(sample_rate=sr, n_fft=n_fft, hop_length=hop)
+    mel_ref, mag = ms(y)
+    en_ref = energy_from_magnitude(mag)
+
+    mel_basis = mel_filterbank(sr, n_fft, 80, 0.0, 8000.0)
+    mel, en = stft_mel_energy(y, jnp.asarray(mel_basis), n_fft=n_fft,
+                              hop_length=hop, interpret=True)
+
+    assert mel.shape == mel_ref.shape and en.shape == en_ref.shape
+    np.testing.assert_allclose(np.asarray(mel), np.asarray(mel_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(en), np.asarray(en_ref),
+                               rtol=1e-4, atol=1e-4)
