@@ -176,11 +176,16 @@ def encoder_apply(
     Returns:
         (B, T, attention_dim) hidden states.
     """
-    # fused kernel only for MXU-friendly head dims (d_k >= 128); tiny head
-    # dims compile poorly in Mosaic and the XLA path is fine there
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
+
+    # fused kernel only for MXU-friendly head dims (d_k >= 128; tiny head
+    # dims compile poorly in Mosaic) and only under the bf16 speed config:
+    # f32 needs Precision.HIGHEST inside Mosaic for parity (see
+    # ops/pallas/attention.py), whose multi-pass scratch overflows VMEM at
+    # T=896 -- and the f32 XLA path is full-precision and equally fast
     d_k = cfg.attention_dim // cfg.attention_heads
     use_fused = (fused_attention and deterministic and lengths is not None
-                 and d_k >= 128)
+                 and d_k >= 128 and current_compute_dtype() == jnp.bfloat16)
     n_rngs = 2 + 4 * cfg.num_blocks
     rngs = (jax.random.split(rng, n_rngs) if rng is not None
             else [None] * n_rngs)

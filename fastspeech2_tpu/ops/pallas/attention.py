@@ -36,8 +36,15 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     k = k_ref[0, 0]
     v = v_ref[0, 0]
 
+    # Mosaic's default f32 dot truncates to a bf16 decomposition (see
+    # ops/pallas/stft.py); parity-config (f32) runs need full precision,
+    # bf16 speed-config operands already are the precision statement
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     ) * scale  # (T, T)
 
     T = scores.shape[0]
@@ -54,7 +61,7 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
     o_ref[0, 0] = jax.lax.dot_general(
         attn.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ).astype(o_ref.dtype)
 
 
