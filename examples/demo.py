@@ -30,7 +30,6 @@ def main():
     from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
     from fastspeech2_tpu.train.checkpoint import load_checkpoint
     from fastspeech2_tpu.train.loop import train
-    from fastspeech2_tpu.train.optimizer import make_optimizer
 
     # 1. a tiny dataset + config (use `preprocess` + `stats` for real data)
     data = os.path.join(args.workdir, "data")
@@ -53,8 +52,7 @@ def main():
     path = os.path.join(args.workdir, "checkpoints", "demo", ckpts[-1])
     model = FastSpeech2(cfg)
     p0, s0 = model.init(jax.random.PRNGKey(0))
-    params, state, _, step, cfg = load_checkpoint(
-        path, p0, s0, make_optimizer(cfg).init(p0))
+    params, state, _, step, cfg = load_checkpoint(path, p0, s0)
     print(f"loaded {path} (step {step})")
 
     # 4. synthesize: phonemes -> mel -> Griffin-Lim wav (pass a MelGAN

@@ -119,7 +119,6 @@ def cmd_gta(args):
     from fastspeech2_tpu.train.checkpoint import (load_checkpoint,
                                                   load_checkpoint_meta)
     from fastspeech2_tpu.train.gta import generate_gta
-    from fastspeech2_tpu.train.optimizer import make_optimizer
 
     _setup_logging(None)
     if args.config:
@@ -128,8 +127,7 @@ def cmd_gta(args):
         cfg = Config.from_yaml(load_checkpoint_meta(args.checkpoint_path)["hp_yaml"])
     model = FastSpeech2(cfg)
     p0, s0 = model.init(jax.random.PRNGKey(0))
-    opt_t = make_optimizer(cfg).init(p0)
-    params, state, _, _, cfg = load_checkpoint(args.checkpoint_path, p0, s0, opt_t)
+    params, state, _, _, cfg = load_checkpoint(args.checkpoint_path, p0, s0)
     ds = TTSDataset(args.data_dir or cfg.data.data_dir,
                     args.filelist or cfg.data.train_filelist,
                     cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
@@ -158,10 +156,8 @@ def cmd_synth(args):
         model = FastSpeech2(cfg)
         p0, s0 = model.init(jax.random.PRNGKey(0))
         from fastspeech2_tpu.train.checkpoint import load_checkpoint
-        from fastspeech2_tpu.train.optimizer import make_optimizer
 
-        opt_t = make_optimizer(cfg).init(p0)
-        params, state, _, _, _ = load_checkpoint(args.checkpoint_path, p0, s0, opt_t)
+        params, state, _, _, _ = load_checkpoint(args.checkpoint_path, p0, s0)
     else:  # random init (smoke runs)
         cfg = load_config(args.config)
         model = FastSpeech2(cfg)
@@ -189,17 +185,14 @@ def cmd_evaluate(args):
     from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
     from fastspeech2_tpu.train.checkpoint import load_checkpoint
     from fastspeech2_tpu.train.loop import evaluate_predictors
-    from fastspeech2_tpu.train.optimizer import make_optimizer
     from fastspeech2_tpu.train.step import TrainState
 
     _setup_logging(None)
     cfg = load_config(args.config)
     model = FastSpeech2(cfg)
     p0, s0 = model.init(jax.random.PRNGKey(0))
-    opt_t = make_optimizer(cfg).init(p0)
-    params, state, opt_state, step, cfg = load_checkpoint(
-        args.checkpoint_path, p0, s0, opt_t)
-    ts = TrainState(params, state, opt_state, step)
+    params, state, _, step, cfg = load_checkpoint(args.checkpoint_path, p0, s0)
+    ts = TrainState(params, state, None, step)
     valid = TTSDataset(args.data_dir or cfg.data.data_dir, cfg.data.valid_filelist,
                        cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
     print(json.dumps(evaluate_predictors(model, ts, valid), indent=1))

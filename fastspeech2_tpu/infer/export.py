@@ -42,14 +42,12 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
     elif checkpoint_path:
         from fastspeech2_tpu.train.checkpoint import (
             load_checkpoint, load_checkpoint_meta)
-        from fastspeech2_tpu.train.optimizer import make_optimizer
 
         meta = load_checkpoint_meta(checkpoint_path)
         cfg = Config.from_yaml(meta["hp_yaml"])
         model0 = FastSpeech2(cfg)
         p0, s0 = model0.init(jax.random.PRNGKey(0))
-        opt_t = make_optimizer(cfg).init(p0)
-        params, state, _, _, _ = load_checkpoint(checkpoint_path, p0, s0, opt_t)
+        params, state, _, _, _ = load_checkpoint(checkpoint_path, p0, s0)
         params = jax.tree.map(jnp.asarray, params)
         state = jax.tree.map(jnp.asarray, state)
     else:

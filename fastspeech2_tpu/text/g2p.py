@@ -4,8 +4,10 @@ The reference uses ``g2p_en.G2p`` at inference time (``inference.py:75,84-98``),
 which needs network-downloaded NLTK data. Here g2p is a pluggable backend:
 
 - if ``g2p_en`` is importable it is used verbatim;
-- otherwise a built-in lexicon backend serves words it knows and raises a clear
-  error for OOV words (phoneme-string input always works without g2p).
+- otherwise a built-in lexicon backend serves words it knows and falls back to
+  simple English letter-to-sound rules for OOV words (g2p_en handles OOV with
+  a neural LTS model; the rule LTS keeps free-text synthesis functional
+  hermetically, at lower pronunciation quality).
 
 ``preprocess_text`` mirrors the reference's inference-time pipeline:
 clean -> strip punctuation -> g2p -> map " "/","/"." to pau (``inference.py:84-98``).
@@ -18,8 +20,66 @@ from fastspeech2_tpu.text.cleaners import english_cleaners, punctuation_removers
 _G2P_BACKEND = None
 
 
+# ordered greedy letter-to-sound rules: digraphs/trigraphs first, then single
+# letters. Emitted symbols stay inside the 68-symbol vocabulary after the CMU
+# stress remap (text/__init__.py).
+_LTS_MULTI = [
+    ("tion", "SH AH0 N"), ("sion", "ZH AH0 N"), ("igh", "AY1"),
+    ("ough", "AO1"), ("augh", "AO1"), ("dge", "JH"), ("tch", "CH"),
+    ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
+    ("ck", "K"), ("ng", "NG"), ("qu", "K W"), ("ee", "IY1"), ("oo", "UW1"),
+    ("ea", "IY1"), ("ou", "AW1"), ("ow", "OW1"), ("ai", "EY1"),
+    ("ay", "EY1"), ("oa", "OW1"), ("oi", "OY1"), ("oy", "OY1"),
+    ("au", "AO1"), ("aw", "AO1"), ("ar", "AA1 R"), ("er", "ER0"),
+    ("ir", "ER1"), ("or", "AO1 R"), ("ur", "ER1"), ("oe", "OW1"),
+]
+_LTS_SINGLE = {
+    "a": "AE1", "b": "B", "c": "K", "d": "D", "e": "EH1", "f": "F",
+    "g": "G", "h": "HH", "i": "IH1", "j": "JH", "k": "K", "l": "L",
+    "m": "M", "n": "N", "o": "AA1", "p": "P", "r": "R", "s": "S",
+    "t": "T", "u": "AH1", "v": "V", "w": "W", "x": "K S", "y": "IY0",
+    "z": "Z",
+}
+
+
+def letter_to_sound(word: str) -> List[str]:
+    """Greedy rule-based English LTS for lexicon misses. Deliberately simple:
+    functional pronunciation, not g2p_en quality."""
+    w = "".join(ch for ch in word.lower() if ch.isalpha())
+    if not w:
+        return []
+    # magic e ("make", "time"): drop the silent final e and lengthen the
+    # vowel before the closing consonant -- not for short words like "the"
+    long_vowel = {"a": "EY1", "e": "IY1", "i": "AY1", "o": "OW1", "u": "UW1"}
+    magic = -1
+    if (len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou"
+            and w[-3] in "aeiou"):
+        magic = len(w) - 3
+        w = w[:-1]
+    elif len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou":
+        w = w[:-1]
+    phones: List[str] = []
+    i = 0
+    while i < len(w):
+        if i == magic:
+            phones.append(long_vowel[w[i]])
+            i += 1
+            continue
+        for pat, ph in _LTS_MULTI:
+            if w.startswith(pat, i):
+                phones.extend(ph.split())
+                i += len(pat)
+                break
+        else:
+            ph = _LTS_SINGLE.get(w[i])
+            if ph:
+                phones.extend(ph.split())
+            i += 1
+    return phones
+
+
 class LexiconG2p:
-    """Minimal lexicon-based g2p: exact word lookup, no LTS rules.
+    """Lexicon lookup with rule-based letter-to-sound for misses.
 
     Enough to drive smoke tests and demos hermetically. Serving deployments
     should install ``g2p_en`` or supply a full lexicon file
@@ -58,12 +118,10 @@ class LexiconG2p:
             key = word.lower().strip(",.!?;:")
             if not key:
                 continue
-            if key not in self.lexicon:
-                raise ValueError(
-                    f"word {key!r} not in g2p lexicon; install g2p_en or pass a "
-                    "lexicon file (or provide phoneme input directly)"
-                )
-            phones.extend(self.lexicon[key].split())
+            if key in self.lexicon:
+                phones.extend(self.lexicon[key].split())
+            else:
+                phones.extend(letter_to_sound(key))
             if word.endswith((",", ".")):
                 phones.append(word[-1])
         return phones

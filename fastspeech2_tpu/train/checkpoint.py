@@ -80,10 +80,14 @@ def save_checkpoint(path: str, params, model_state, opt_state, step: int,
 
 
 def load_checkpoint(
-    path: str, params_template, state_template, opt_template,
+    path: str, params_template, state_template, opt_template=None,
 ) -> Tuple[Any, Any, Any, int, Config]:
     """Load into the given pytree templates; returns
-    (params, model_state, opt_state, step, cfg)."""
+    (params, model_state, opt_state, step, cfg).
+
+    opt_template=None skips optimizer-state restoration (inference/GTA/export
+    consumers; also sidesteps optimizer-layout changes across versions --
+    resume-from-checkpoint is the only caller that needs the opt state)."""
     with np.load(path, allow_pickle=False) as z:
         flat = {"params": {}, "state": {}, "opt": {}}
         meta = json.loads(bytes(z["__meta__"]).decode())
@@ -94,7 +98,8 @@ def load_checkpoint(
             flat[prefix][rest] = z[k]
     params = _unflatten_into(params_template, flat["params"])
     state = _unflatten_into(state_template, flat["state"])
-    opt = _unflatten_into(opt_template, flat["opt"])
+    opt = (_unflatten_into(opt_template, flat["opt"])
+           if opt_template is not None else None)
     cfg = Config.from_yaml(meta["hp_yaml"])
     return params, state, opt, meta["step"], cfg
 

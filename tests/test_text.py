@@ -86,3 +86,26 @@ def test_grapheme_path():
     ids = text_to_sequence("ab c.", ["english_cleaners"], eos=False)
     # a->8, b->9, space->6, c->10, .->5 (reference dict_.py)
     assert ids == [8, 9, 6, 10, 5]
+
+
+def test_lexicon_g2p_oov_uses_letter_to_sound():
+    """Free text must never crash the offline frontend (the reference's
+    g2p_en covers OOV with a neural LTS; here rules do)."""
+    from fastspeech2_tpu.text import phonemes_to_sequence
+    from fastspeech2_tpu.text.g2p import LexiconG2p, preprocess_text
+
+    g2p = LexiconG2p()
+    ph = preprocess_text("Zyxwvut borogoves 42 dollars!", g2p=g2p)
+    assert ph  # produced something
+    ids = phonemes_to_sequence(ph)
+    assert len(ids) > 5 and all(isinstance(i, int) for i in ids)
+
+
+def test_letter_to_sound_basics():
+    from fastspeech2_tpu.text.g2p import letter_to_sound
+
+    assert letter_to_sound("ship") == ["SH", "IH1", "P"]
+    assert letter_to_sound("check") == ["CH", "EH1", "K"]
+    assert letter_to_sound("sing") == ["S", "IH1", "NG"]
+    assert letter_to_sound("make") == ["M", "EY1", "K"]  # silent final e
+    assert letter_to_sound("123") == []
