@@ -177,6 +177,34 @@ def cmd_synth(args):
     logging.info("wrote %s", os.path.join(args.out, "test_tts.wav"))
 
 
+def cmd_serve(args):
+    """Micro-batching HTTP synthesis server (infer/server.py)."""
+    import jax
+
+    from fastspeech2_tpu.config import Config, load_config
+    from fastspeech2_tpu.infer.server import serve
+    from fastspeech2_tpu.infer.synthesize import Synthesizer
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.train.checkpoint import (load_checkpoint,
+                                                  load_checkpoint_meta)
+
+    _setup_logging(None)
+    if args.checkpoint_path:
+        cfg = Config.from_yaml(
+            load_checkpoint_meta(args.checkpoint_path)["hp_yaml"])
+        model = FastSpeech2(cfg)
+        p0, s0 = model.init(jax.random.PRNGKey(0))
+        params, state, _, _, _ = load_checkpoint(args.checkpoint_path, p0, s0)
+    else:  # random init (smoke runs)
+        cfg = load_config(args.config)
+        model = FastSpeech2(cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(model, params, state,
+                        bf16=jax.default_backend() == "tpu")
+    serve(synth, cfg, host=args.host, port=args.port,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+
+
 def cmd_evaluate(args):
     import jax
 
@@ -250,6 +278,15 @@ def main(argv=None):
     sp.add_argument("--alpha", type=float, default=1.0)
     sp.add_argument("-o", "--out", default="./synth_out")
     sp.set_defaults(fn=cmd_synth)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("-p", "--checkpoint_path", default=None)
+    sp.add_argument("-c", "--config", default=None)
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--max_batch", type=int, default=16)
+    sp.add_argument("--max_wait_ms", type=float, default=5.0)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("evaluate")
     sp.add_argument("-p", "--checkpoint_path", required=True)

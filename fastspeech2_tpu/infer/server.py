@@ -1,0 +1,219 @@
+"""HTTP serving with micro-batching.
+
+The reference ships no serving path (its deploy artifact is a TorchScript
+file, ``export_torchscript.py``); this is the production-serving tier of the
+TPU framework. Requests queue on arrival and a single inference thread drains
+them in micro-batches -- concurrent requests share one padded forward pass so
+the chip runs big MXU-shaped batches instead of B=1 calls (batched inference
+on a v5e is >100x more frame-throughput than sequential single utterances).
+
+API (JSON over HTTP, stdlib-only):
+
+    GET  /healthz             -> {"status": "ok", ...}
+    POST /synthesize          body: {"text": "..."} or
+                                    {"phonemes": "HH AH0 L OW1 ..."}
+                              optional: "alpha": float, "format": "mel"|"wav"
+      format=mel (default): {"mel": [[...80 floats...] x L], "frames": L, ...}
+      format=wav: audio/wav bytes (Griffin-Lim unless a vocoder is supplied)
+
+Run: ``python -m fastspeech2_tpu serve -p CKPT --port 8000``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+log = logging.getLogger("fastspeech2_tpu.serve")
+
+
+@dataclass
+class _Request:
+    tokens: np.ndarray
+    alpha: float
+    done: threading.Event = field(default_factory=threading.Event)
+    mel: Optional[np.ndarray] = None
+    error: Optional[str] = None
+
+
+class Batcher:
+    """Collects concurrent requests into one padded forward pass.
+
+    The first request of a batch waits up to ``max_wait_ms`` for company;
+    whatever arrived by then (capped at ``max_batch``) runs together.
+    Same-alpha requests batch together (alpha is a static jit argument).
+    """
+
+    def __init__(self, synthesizer, max_batch: int = 16,
+                 max_wait_ms: float = 5.0):
+        self.synth = synthesizer
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.q: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "frames": 0}
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, tokens: np.ndarray, alpha: float = 1.0) -> _Request:
+        req = _Request(tokens=np.asarray(tokens, np.int32), alpha=alpha)
+        self.q.put(req)
+        return req
+
+    def close(self):
+        self._stop.set()
+        self.q.put(None)  # unblock
+        self.thread.join(timeout=5)
+
+    def _take_batch(self) -> List[_Request]:
+        first = self.q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1000.0
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            if nxt.alpha != first.alpha:  # different static config: run later
+                self.q.put(nxt)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            try:
+                mels, out_lens = self.synth.mel_from_token_batch(
+                    [r.tokens for r in batch], alpha=batch[0].alpha)
+                for r, mel, n in zip(batch, mels, out_lens):
+                    r.mel = mel[: int(n)]
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["frames"] += int(np.sum(out_lens))
+            except Exception as e:  # surface per-request, keep serving
+                log.exception("batch failed")
+                for r in batch:
+                    r.error = str(e)
+            for r in batch:
+                r.done.set()
+
+
+def make_handler(batcher: Batcher, cfg, vocoder=None):
+    from fastspeech2_tpu.infer.synthesize import vocode
+    from fastspeech2_tpu.text import phonemes_to_sequence
+    from fastspeech2_tpu.text.g2p import preprocess_text
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            log.debug(fmt, *args)
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **batcher.stats})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                alpha = float(payload.get("alpha", 1.0))
+                fmt = payload.get("format", "mel")
+                if fmt not in ("mel", "wav"):
+                    raise ValueError(f"format must be mel|wav, got {fmt!r}")
+                if payload.get("phonemes"):
+                    phoneme_str = payload["phonemes"]
+                elif payload.get("text"):
+                    phoneme_str = preprocess_text(payload["text"])
+                else:
+                    raise ValueError("body needs 'text' or 'phonemes'")
+                tokens = np.asarray(phonemes_to_sequence(phoneme_str), np.int32)
+                if tokens.size == 0:
+                    raise ValueError("input produced no phonemes")
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+
+            t0 = time.perf_counter()
+            req = batcher.submit(tokens, alpha)
+            req.done.wait()
+            if req.error is not None:
+                self._json(500, {"error": req.error})
+                return
+            latency = time.perf_counter() - t0
+            if fmt == "mel":
+                self._json(200, {
+                    "mel": np.asarray(req.mel, np.float32).tolist(),
+                    "frames": int(req.mel.shape[0]),
+                    "latency_s": round(latency, 4),
+                })
+            else:
+                wav = vocode(req.mel, cfg, vocoder=vocoder)
+                wav16 = (np.clip(wav, -1, 1) * 32767).astype("<i2")
+                body = _wav_bytes(wav16, cfg.audio.sample_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return Handler
+
+
+def _wav_bytes(pcm16: np.ndarray, sample_rate: int) -> bytes:
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def serve(synthesizer, cfg, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: int = 16, max_wait_ms: float = 5.0, vocoder=None,
+          ready_event: Optional[threading.Event] = None):
+    """Blocking server loop. ready_event (tests) fires once bound."""
+    batcher = Batcher(synthesizer, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(batcher, cfg, vocoder))
+    if ready_event is not None:
+        ready_event.set()
+    log.info("serving on %s:%d (max_batch=%d, max_wait=%.1fms)",
+             host, httpd.server_address[1], max_batch, max_wait_ms)
+    try:
+        httpd.serve_forever()
+    finally:
+        batcher.close()
+        httpd.server_close()

@@ -1,0 +1,132 @@
+"""HTTP serving tier: micro-batching, endpoints, error handling.
+
+Spins a real server (random port, tiny model) in a thread and talks to it
+over the socket -- the same surface a production client uses. The reference
+has no serving path; see infer/server.py.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from fastspeech2_tpu.config import Config, ModelConfig
+from fastspeech2_tpu.infer.server import Batcher, serve
+from fastspeech2_tpu.infer.synthesize import Synthesizer
+from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    params["duration_predictor"]["out"]["b"] = jnp.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+    synth = Synthesizer(model, params, state)
+    ready = threading.Event()
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    t = threading.Thread(
+        target=serve, args=(synth, cfg),
+        kwargs=dict(host="127.0.0.1", port=port, max_wait_ms=20.0,
+                    ready_event=ready),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=30)
+    yield f"http://127.0.0.1:{port}"
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/synthesize", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        ct = r.headers.get("Content-Type", "")
+        body = r.read()
+    return ct, body
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        obj = json.loads(r.read())
+    assert obj["status"] == "ok"
+
+
+def test_synthesize_phonemes_mel(server):
+    ct, body = _post(server, {"phonemes": "HH AH0 L OW1 W ER1 L D"})
+    obj = json.loads(body)
+    assert "application/json" in ct
+    mel = np.asarray(obj["mel"], np.float32)
+    assert mel.ndim == 2 and mel.shape[1] == 80 and obj["frames"] == len(mel)
+
+
+def test_synthesize_text_wav(server):
+    ct, body = _post(server, {"text": "hello world", "format": "wav"})
+    assert ct == "audio/wav"
+    assert body[:4] == b"RIFF" and len(body) > 44
+
+
+def test_concurrent_requests_batch(server):
+    results = [None] * 6
+
+    def go(i):
+        ct, body = _post(server, {"phonemes": "HH AH0 L OW1", "alpha": 1.0})
+        results[i] = json.loads(body)["frames"]
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(isinstance(r, int) and r >= 0 for r in results)
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        stats = json.loads(r.read())
+    # at least one multi-request batch formed (6 requests, <= stats noise
+    # from other tests) -- batches < requests proves coalescing happened
+    assert stats["batches"] < stats["requests"]
+
+
+def test_bad_requests(server):
+    for payload, want in (({}, 400), ({"format": "midi", "text": "x"}, 400)):
+        req = urllib.request.Request(
+            server + "/synthesize", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == want
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope", timeout=30)
+    assert e.value.code == 404
+
+
+def test_batcher_direct():
+    """Batcher coalesces queued requests into one forward call."""
+    calls = []
+
+    class FakeSynth:
+        def mel_from_token_batch(self, seqs, alpha=1.0):
+            calls.append(len(seqs))
+            lens = np.asarray([3] * len(seqs))
+            return np.zeros((len(seqs), 5, 80), np.float32), lens
+
+    b = Batcher(FakeSynth(), max_batch=8, max_wait_ms=50.0)
+    reqs = [b.submit(np.asarray([1, 2, 3], np.int32)) for _ in range(5)]
+    for r in reqs:
+        assert r.done.wait(timeout=10)
+        assert r.mel.shape == (3, 80)
+    b.close()
+    assert sum(calls) == 5 and len(calls) <= 2  # coalesced, not 5 x B=1
