@@ -21,6 +21,7 @@ import numpy as np
 from fastspeech2_tpu.config import Config
 from fastspeech2_tpu.data.batching import BucketBatcher
 from fastspeech2_tpu.data.dataset import TTSDataset
+from fastspeech2_tpu.data.prefetch import prefetch
 from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
 from fastspeech2_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from fastspeech2_tpu.train.metrics import MetricsWriter, Throughput
@@ -166,7 +167,7 @@ def train(cfg: Config, name: str, outdir: str,
     with mesh:
         for epoch in range(10 ** 9):
             t_epoch = time.time()
-            for batch, _shape in batcher.epoch(epoch):
+            for batch, _shape in prefetch(batcher.epoch(epoch), depth=2):
                 if (profile_dir and not profiling["active"]
                         and step >= step0 + 3):  # warm cache first
                     jax.profiler.start_trace(profile_dir)

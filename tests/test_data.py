@@ -118,3 +118,26 @@ def test_batcher_static_shape_quantization(fake_store):
         assert t % 8 == 0 and l % 32 == 0
         shapes.add((t, l))
     assert len(shapes) <= 4, "bucketing should keep the shape set small"
+
+
+def test_prefetch_order_and_errors():
+    from fastspeech2_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(100), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer died")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1 and next(it) == 2
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it)
+
+    # abandoning the iterator doesn't deadlock the producer
+    it2 = prefetch(iter(range(10**6)), depth=1)
+    next(it2)
+    it2.close()
