@@ -84,10 +84,12 @@ def evaluate_predictors(model: FastSpeech2, ts: TrainState,
             "Pitch_Loss": float(np.mean(p_l))}
 
 
-def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg):
-    """Free-running inference on one valid utterance + mel images to TB
-    (reference train_fastspeech.py:167-219)."""
-    from fastspeech2_tpu.data.batching import pad_batch
+def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg,
+                           audio_steps: int = 0):
+    """Free-running inference on one valid utterance + mel images (and
+    optionally Griffin-Lim audio) to TB (reference train_fastspeech.py:167-219;
+    the reference vocodes with MelGAN -- here GL keeps it dependency-free,
+    pass a vocoder via infer.synthesize.vocode for neural audio)."""
     from fastspeech2_tpu.utils.plotting import plot_spectrogram_to_numpy
 
     u = valid_ds[0]
@@ -102,6 +104,14 @@ def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg):
     if pred.shape[1] > 0:
         metrics.image(step, "validation/mel_predicted",
                       plot_spectrogram_to_numpy(pred))
+    if audio_steps > 0 and pred.shape[1] > 0:
+        from fastspeech2_tpu.infer.synthesize import vocode
+
+        sr = cfg.audio.sample_rate
+        metrics.audio(step, "validation/audio_predicted",
+                      vocode(pred.T, cfg, gl_iters=audio_steps), sr)
+        metrics.audio(step, "validation/audio_target",
+                      vocode(u.mel, cfg, gl_iters=audio_steps), sr)
 
 
 def train(cfg: Config, name: str, outdir: str,
@@ -208,7 +218,8 @@ def train(cfg: Config, name: str, outdir: str,
                                         prefix="validation")
                         try:
                             _log_validation_sample(model, ts, valid_ds,
-                                                   metrics, step, cfg)
+                                                   metrics, step, cfg,
+                                                   audio_steps=30)
                         except Exception as e:  # images are best-effort
                             log.warning("validation sample logging failed: %s", e)
 

@@ -41,8 +41,30 @@ class MetricsWriter:
             self.tb.add_image(tag, img_chw, step)
 
     def audio(self, step: int, tag: str, wav, sample_rate: int):
-        if self.tb is not None:
-            self.tb.add_audio(tag, wav[None, :], step, sample_rate=sample_rate)
+        """Float waveform to TensorBoard. Encodes the WAV with the stdlib
+        (tensorboardX's add_audio requires soundfile, which this image lacks)
+        and emits the Summary.Audio proto directly."""
+        if self.tb is None:
+            return
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        from tensorboardX.proto.summary_pb2 import Summary
+
+        pcm = (np.clip(np.asarray(wav).reshape(-1), -1, 1) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        audio = Summary.Audio(sample_rate=sample_rate, num_channels=1,
+                              length_frames=len(pcm),
+                              encoded_audio_string=buf.getvalue(),
+                              content_type="audio/wav")
+        self.tb._get_file_writer().add_summary(
+            Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
 
     def close(self):
         self._f.close()
