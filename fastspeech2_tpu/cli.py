@@ -199,8 +199,14 @@ def cmd_serve(args):
         cfg = load_config(args.config)
         model = FastSpeech2(cfg)
         params, state = model.init(jax.random.PRNGKey(0))
+    mesh = None
+    if jax.device_count() > 1:  # data-parallel inference across local chips
+        from fastspeech2_tpu.train.step import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        logging.info("serving data-parallel over %d devices", jax.device_count())
     synth = Synthesizer(model, params, state,
-                        bf16=jax.default_backend() == "tpu")
+                        bf16=jax.default_backend() == "tpu", mesh=mesh)
     serve(synth, cfg, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 

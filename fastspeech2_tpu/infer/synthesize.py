@@ -33,7 +33,7 @@ class Synthesizer:
 
     def __init__(self, model: FastSpeech2, params, state,
                  token_multiple: int = 32, frames_per_token: int = 12,
-                 max_frames: int = 2048, bf16: bool = False):
+                 max_frames: int = 2048, bf16: bool = False, mesh=None):
         self.model = model
         self.params = params
         self.state = state
@@ -41,6 +41,10 @@ class Synthesizer:
         self.frames_per_token = frames_per_token
         self.max_frames = max_frames
         self.bf16 = bf16  # speed config: bf16 matmuls, f32 accum/softmax/LN
+        # mesh: data-parallel inference -- params replicate, the batch axis
+        # shards over the 1-D 'data' mesh (parallel/mesh.py); batches pad up
+        # to a multiple of the mesh size
+        self.mesh = mesh
         self._jitted = {}
 
     def _fn(self, t_pad: int, l_pad: int):
@@ -55,7 +59,12 @@ class Synthesizer:
                 with compute_dtype(dt):
                     return self.model.inference(params, state, xs, ilens,
                                                 out_maxlen=l_pad, alpha=alpha)
-            self._jitted[key] = jax.jit(infer, static_argnames=("alpha",))
+            if self.mesh is not None:
+                from fastspeech2_tpu.parallel.mesh import shard_inference_fn
+
+                self._jitted[key] = shard_inference_fn(infer, self.mesh)
+            else:
+                self._jitted[key] = jax.jit(infer, static_argnames=("alpha",))
         return self._jitted[key]
 
     def mel_from_token_batch(
@@ -63,16 +72,19 @@ class Synthesizer:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """List of id sequences -> (mel (B, L, n_mels), out_lens (B,))."""
         B = len(token_seqs)
+        B_pad = B if self.mesh is None else _round_up(
+            B, self.mesh.devices.size)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
         l_pad = min(_round_up(t_pad * self.frames_per_token, 256), self.max_frames)
-        xs = np.zeros((B, t_pad), np.int32)
-        ilens = np.zeros((B,), np.int32)
+        xs = np.zeros((B_pad, t_pad), np.int32)
+        ilens = np.zeros((B_pad,), np.int32)
         for i, s in enumerate(token_seqs):
             xs[i, : len(s)] = s
             ilens[i] = len(s)
+        ilens[B:] = 1  # padded rows: minimal valid length, sliced away below
         mel, out_lens, _ = self._fn(t_pad, l_pad)(
             self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens), alpha)
-        return np.asarray(mel), np.asarray(out_lens)
+        return np.asarray(mel)[:B], np.asarray(out_lens)[:B]
 
     def synth_phonemes(self, phoneme_str: str, alpha: float = 1.0) -> np.ndarray:
         """Space-joined phoneme string -> (L, n_mels) mel."""

@@ -130,3 +130,33 @@ def test_batcher_direct():
         assert r.mel.shape == (3, 80)
     b.close()
     assert sum(calls) == 5 and len(calls) <= 2  # coalesced, not 5 x B=1
+
+
+def test_synthesizer_mesh_matches_single_device():
+    """Data-parallel inference over the 8-device CPU mesh == single device,
+    including a batch size that doesn't divide the mesh."""
+    from fastspeech2_tpu.train.step import make_mesh
+
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    params["duration_predictor"]["out"]["b"] = jnp.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+
+    g = np.random.default_rng(0)
+    seqs = [np.asarray(g.integers(1, 68, n), np.int32) for n in (5, 9, 7)]
+
+    plain = Synthesizer(model, params, state)
+    mesh = make_mesh(len(jax.devices()))
+    sharded = Synthesizer(model, params, state, mesh=mesh)
+
+    mel_a, len_a = plain.mel_from_token_batch(seqs)
+    mel_b, len_b = sharded.mel_from_token_batch(seqs)
+    assert mel_b.shape[0] == 3 and len_b.shape == (3,)
+    np.testing.assert_array_equal(len_a, len_b)
+    np.testing.assert_allclose(mel_a, mel_b, rtol=2e-5, atol=2e-5)
