@@ -141,8 +141,18 @@ def train(cfg: Config, name: str, outdir: str,
     ts = TrainState(params, mstate, opt.init(params), jnp.asarray(0, jnp.int32))
     step0 = 0
     if resume_path:
-        p, s, o, step0, _ = load_checkpoint(
-            resume_path, ts.params, ts.model_state, ts.opt_state)
+        try:
+            p, s, o, step0, _ = load_checkpoint(
+                resume_path, ts.params, ts.model_state, ts.opt_state)
+        except (KeyError, ValueError) as e:
+            # optimizer layout changed across versions: keep params/step,
+            # restart optimizer state (== reference's warn-and-continue on
+            # checkpoint mismatches, train_fastspeech.py:42-63)
+            log.warning("optimizer state in %s doesn't match current "
+                        "optimizer (%s); reinitializing it", resume_path, e)
+            p, s, _, step0, _ = load_checkpoint(
+                resume_path, ts.params, ts.model_state)
+            o = opt.init(p)
         ts = TrainState(jax.tree.map(jnp.asarray, p), jax.tree.map(jnp.asarray, s),
                         jax.tree.map(jnp.asarray, o),
                         jnp.asarray(step0, jnp.int32))
