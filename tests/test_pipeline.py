@@ -175,3 +175,22 @@ def test_cli_preprocess_stats(tmp_path):
     voiced = p[p > 0]
     assert len(voiced) and abs(np.median(voiced) - 220) < 25
     cli_main(["stats", "-d", out_dir])
+
+
+def test_shipped_configs_load_and_match_defaults():
+    """configs/*.yaml must stay in sync with the config dataclasses.
+
+    default.yaml is the full field-for-field parity config (reference
+    configs/default.yaml); speed_bf16.yaml is a minimal override that only
+    flips the TPU speed switches.
+    """
+    from fastspeech2_tpu.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    full = load_config(os.path.join(root, "default.yaml"))
+    assert full.to_dict() == Config().to_dict()
+    speed = load_config(os.path.join(root, "speed_bf16.yaml"))
+    assert speed.train.bf16 is True
+    ref = Config().to_dict()
+    ref["train"]["bf16"] = True
+    assert speed.to_dict() == ref
