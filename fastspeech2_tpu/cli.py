@@ -163,7 +163,8 @@ def cmd_synth(args):
         model = FastSpeech2(cfg)
         params, state = model.init(jax.random.PRNGKey(0))
 
-    synth = Synthesizer(model, params, state)
+    synth = Synthesizer(model, params, state,
+                        matmul_precision=getattr(args, "precision", "highest"))
     if args.phonemes:
         mel = synth.synth_phonemes(args.text, alpha=args.alpha)
         stats = {"frames": int(mel.shape[0])}
@@ -282,6 +283,11 @@ def main(argv=None):
     sp.add_argument("--phonemes", action="store_true",
                     help="treat --text as a space-joined phoneme string")
     sp.add_argument("--alpha", type=float, default=1.0)
+    sp.add_argument("--precision", default="highest",
+                    choices=("default", "highest"),
+                    help="matmul precision for f32 inference; 'highest' keeps "
+                         "TPU dots in full f32 for reference-grade mel parity "
+                         "(no-op on CPU)")
     sp.add_argument("-o", "--out", default="./synth_out")
     sp.set_defaults(fn=cmd_synth)
 

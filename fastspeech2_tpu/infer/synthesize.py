@@ -11,6 +11,7 @@ jit cache stays warm across calls; batches of sentences run in one device call.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -33,7 +34,8 @@ class Synthesizer:
 
     def __init__(self, model: FastSpeech2, params, state,
                  token_multiple: int = 32, frames_per_token: int = 12,
-                 max_frames: int = 2048, bf16: bool = False, mesh=None):
+                 max_frames: int = 2048, bf16: bool = False, mesh=None,
+                 matmul_precision: str = "default"):
         self.model = model
         self.params = params
         self.state = state
@@ -41,6 +43,12 @@ class Synthesizer:
         self.frames_per_token = frames_per_token
         self.max_frames = max_frames
         self.bf16 = bf16  # speed config: bf16 matmuls, f32 accum/softmax/LN
+        # "highest" forces full-f32 dots. TPU f32 matmuls otherwise run at
+        # DEFAULT precision (bf16 operand passes): ~1e-3..5e-2 mel deviation
+        # vs the f32 reference, and duration rounding can flip at knife-edges.
+        # "highest" restores <=1.2e-5 max-abs mel agreement + exact durations
+        # vs torch-CPU (measured on v5e; PARITY.md). No-op on CPU / under bf16.
+        self.matmul_precision = matmul_precision
         # mesh: data-parallel inference -- params replicate, the batch axis
         # shards over the 1-D 'data' mesh (parallel/mesh.py); batches pad up
         # to a multiple of the mesh size
@@ -55,8 +63,13 @@ class Synthesizer:
 
             dt = _jnp.bfloat16 if self.bf16 else None
 
+            def _prec():
+                return (jax.default_matmul_precision(self.matmul_precision)
+                        if self.matmul_precision != "default"
+                        else contextlib.nullcontext())
+
             def infer(params, state, xs, ilens, alpha):
-                with compute_dtype(dt):
+                with compute_dtype(dt), _prec():
                     return self.model.inference(params, state, xs, ilens,
                                                 out_maxlen=l_pad, alpha=alpha)
             if self.mesh is not None:

@@ -76,6 +76,43 @@ def _conv_transpose1d(p, x, stride: int):
     return y + p["b"]
 
 
+def _conv_transpose1d_polyphase(p, x, stride: int):
+    """Polyphase form of ``_conv_transpose1d`` for even strides.
+
+    ``lax.conv_transpose`` lowers to a conv over an input with stride-1 zeros
+    inserted between samples, so on TPU ~stride x of its MACs multiply zeros.
+    Since kernel == 2*stride, every output sample depends on exactly TWO input
+    frames; the whole op is one kernel-2 conv producing stride*C_out channels
+    (a dense (2*C_in -> stride*C_out) matmul per frame, MXU-shaped) followed by
+    a sub-pixel interleave.
+
+    Derivation (even r, so torch pad=r/2, output_pad=0, out length T*r): with
+    stored weights w[kk] = W_torch[:, :, k-1-kk] and h = r/2, output phase s of
+    frame t reads frames (t-1, t) for s < h and (t, t+1) for s >= h, with tap
+    weights w[(h-1-s) % r] and w[(h-1-s) % r + r]. Numerically identical to
+    the lax.conv_transpose path (tests/test_vocoder.py pins allclose 1e-5).
+    """
+    k, cin, cout = p["w"].shape
+    r = stride
+    h = r // 2
+    # (k=2r, in, out) -> per-phase kernel-2 taps (2, in, r, out) -> (2, in, r*out)
+    w = p["w"].reshape(2, r, cin, cout)
+    phase = (h - 1 - jnp.arange(r)) % r
+    kern = w[:, phase].transpose(0, 2, 1, 3).reshape(2, cin, r * cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    z = lax.conv_general_dilated(
+        xp, kern, (1,), "VALID", dimension_numbers=("NHC", "HIO", "NHC"))
+    B, T1, _ = z.shape  # T1 == T+1
+    z = z.reshape(B, T1, r, cout)
+    y = jnp.concatenate([z[:, :-1, :h], z[:, 1:, h:]], axis=2)
+    return y.reshape(B, (T1 - 1) * r, cout) + p["b"]
+
+
+def _upsample(p, x, stride: int):
+    return (_conv_transpose1d_polyphase(p, x, stride) if stride % 2 == 0
+            else _conv_transpose1d(p, x, stride))
+
+
 def init_melgan(key, cfg: MelGANConfig = MelGANConfig()):
     keys = jax.random.split(key, 64)
     ki = iter(keys)
@@ -115,7 +152,7 @@ class MelGANGenerator:
         x = _conv1d_reflect(params["pre"], mel)
         for r, block in zip(self.cfg.upsample_rates, params["blocks"]):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            x = _conv_transpose1d(block["up"], x, r)
+            x = _upsample(block["up"], x, r)
             for d, stack in zip(self.cfg.resstack_dilations, block["stacks"]):
                 y = jax.nn.leaky_relu(x, LRELU_SLOPE)
                 y = _conv1d_reflect(stack["c1"], y, dilation=d)

@@ -66,6 +66,23 @@ def test_conv_transpose_matches_torch(rng):
         np.testing.assert_allclose(ours.transpose(0, 2, 1), expect, atol=1e-5)
 
 
+def test_polyphase_upsample_matches_conv_transpose(rng):
+    """The MXU-shaped polyphase path (kernel-2 conv + sub-pixel interleave)
+    must be numerically identical to lax.conv_transpose / torch (even strides
+    only -- MelGAN's rates are (8, 8, 2, 2))."""
+    from fastspeech2_tpu.vocoder.melgan import (
+        _conv_transpose1d_polyphase, _init_conv)
+
+    key = jax.random.PRNGKey(3)
+    for stride, cin in ((2, 16), (8, 32)):
+        p = _init_conv(key, cin, cin // 2, 2 * stride)
+        x = jnp.asarray(rng.normal(size=(2, 13, cin)).astype(np.float32))
+        ref = _conv_transpose1d(p, x, stride)
+        got = _conv_transpose1d_polyphase(p, x, stride)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_weight_norm_folding(rng):
     conv = torch.nn.utils.weight_norm(torch.nn.Conv1d(4, 6, 3))
     sd = {f"c.{k}": v.detach().numpy() for k, v in conv.state_dict().items()}
