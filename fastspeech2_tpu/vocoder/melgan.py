@@ -80,7 +80,9 @@ def _conv_transpose1d_polyphase(p, x, stride: int):
     """Polyphase form of ``_conv_transpose1d`` for even strides.
 
     ``lax.conv_transpose`` lowers to a conv over an input with stride-1 zeros
-    inserted between samples, so on TPU ~stride x of its MACs multiply zeros.
+    inserted between samples, so on TPU ~stride x of its MACs multiply zeros
+    (measured on a v5e at B=8, T=512: 132x faster in f32 -- 8.38 s -> 63 ms
+    per batch -- and parity with conv_transpose in bf16).
     Since kernel == 2*stride, every output sample depends on exactly TWO input
     frames; the whole op is one kernel-2 conv producing stride*C_out channels
     (a dense (2*C_in -> stride*C_out) matmul per frame, MXU-shaped) followed by
@@ -136,9 +138,11 @@ def init_melgan(key, cfg: MelGANConfig = MelGANConfig()):
 class MelGANGenerator:
     """Functional generator: (B, T, n_mels) log-mel -> (B, T*256) waveform.
 
-    bf16=True runs the whole stack in bfloat16 (+40% on a v5e -- the
-    upsampled low-channel layers are HBM-bandwidth-bound); wav error vs f32
-    is ~2e-3 peak (-55 dB). Default f32 for bit-faithful vocoding.
+    bf16=True runs the whole stack in bfloat16 (the upsampled low-channel
+    layers are HBM-bandwidth-bound; ~+26% over polyphase f32 on a v5e); wav
+    error vs f32 is ~2e-3 peak (-55 dB). Default f32 for bit-faithful
+    vocoding -- fast since the polyphase upsampling path (above) removed the
+    pathological f32 conv_transpose lowering.
     """
 
     def __init__(self, cfg: MelGANConfig = MelGANConfig(), bf16: bool = False):
