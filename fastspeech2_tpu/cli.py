@@ -173,7 +173,14 @@ def cmd_synth(args):
     logging.info("synthesized %s frames (%s)", mel.shape[0], stats)
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "mel.npy"), mel.T)  # (n_mels, L) like the ref
-    wav = vocode(mel, cfg)
+    vocoder = None
+    vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
+    if vocoder_path:
+        from fastspeech2_tpu.vocoder import load_melgan
+
+        vocoder = load_melgan(vocoder_path)
+        logging.info("vocoding with MelGAN checkpoint %s", vocoder_path)
+    wav = vocode(mel, cfg, vocoder=vocoder)
     write_wav(os.path.join(args.out, "test_tts.wav"), wav, cfg.audio.sample_rate)
     logging.info("wrote %s", os.path.join(args.out, "test_tts.wav"))
 
@@ -208,8 +215,17 @@ def cmd_serve(args):
         logging.info("serving data-parallel over %d devices", jax.device_count())
     synth = Synthesizer(model, params, state,
                         bf16=jax.default_backend() == "tpu", mesh=mesh)
+    vocoder = None
+    vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
+    if vocoder_path:
+        from fastspeech2_tpu.vocoder import load_melgan
+
+        vocoder = load_melgan(vocoder_path,
+                              bf16=jax.default_backend() == "tpu")
+        logging.info("serving wav with MelGAN checkpoint %s", vocoder_path)
     serve(synth, cfg, host=args.host, port=args.port,
-          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+          vocoder=vocoder)
 
 
 def cmd_evaluate(args):
@@ -288,6 +304,10 @@ def main(argv=None):
                     help="matmul precision for f32 inference; 'highest' keeps "
                          "TPU dots in full f32 for reference-grade mel parity "
                          "(no-op on CPU)")
+    sp.add_argument("--vocoder", default=None,
+                    help="local seungwonpark-format MelGAN checkpoint; the "
+                         "reference fetches the same weights via torch.hub "
+                         "(else Griffin-Lim fallback)")
     sp.add_argument("-o", "--out", default="./synth_out")
     sp.set_defaults(fn=cmd_synth)
 
@@ -298,6 +318,9 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8000)
     sp.add_argument("--max_batch", type=int, default=16)
     sp.add_argument("--max_wait_ms", type=float, default=5.0)
+    sp.add_argument("--vocoder", default=None,
+                    help="local MelGAN checkpoint for wav responses "
+                         "(else Griffin-Lim)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("evaluate")

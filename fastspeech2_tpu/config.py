@@ -123,6 +123,11 @@ class TrainConfig:
     use_phonemes: bool = True
     batch_size: int = 16
     melgan_vocoder: bool = False
+    # local seungwonpark-format MelGAN checkpoint for validation audio and as
+    # the synth/serve default; the reference instead downloads the same
+    # weights from torch.hub at runtime (train_fastspeech.py:446). Empty +
+    # melgan_vocoder=False -> Griffin-Lim audio.
+    vocoder_checkpoint: str = ""
     save_interval: int = 1000
     chkpt_dir: str = "./checkpoints"
     log_dir: str = "./logs"

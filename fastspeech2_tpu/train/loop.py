@@ -85,11 +85,11 @@ def evaluate_predictors(model: FastSpeech2, ts: TrainState,
 
 
 def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg,
-                           audio_steps: int = 0):
-    """Free-running inference on one valid utterance + mel images (and
-    optionally Griffin-Lim audio) to TB (reference train_fastspeech.py:167-219;
-    the reference vocodes with MelGAN -- here GL keeps it dependency-free,
-    pass a vocoder via infer.synthesize.vocode for neural audio)."""
+                           audio_steps: int = 0, vocoder=None):
+    """Free-running inference on one valid utterance + mel images + audio to
+    TB (reference train_fastspeech.py:167-219). Audio uses the given neural
+    vocoder (cfg.train.vocoder_checkpoint -> MelGAN, matching the reference's
+    torch.hub MelGAN) or falls back to Griffin-Lim."""
     from fastspeech2_tpu.utils.plotting import plot_spectrogram_to_numpy
 
     u = valid_ds[0]
@@ -109,9 +109,11 @@ def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg,
 
         sr = cfg.audio.sample_rate
         metrics.audio(step, "validation/audio_predicted",
-                      vocode(pred.T, cfg, gl_iters=audio_steps), sr)
+                      vocode(pred.T, cfg, vocoder=vocoder,
+                             gl_iters=audio_steps), sr)
         metrics.audio(step, "validation/audio_target",
-                      vocode(u.mel, cfg, gl_iters=audio_steps), sr)
+                      vocode(u.mel, cfg, vocoder=vocoder,
+                             gl_iters=audio_steps), sr)
 
 
 def train(cfg: Config, name: str, outdir: str,
@@ -182,6 +184,17 @@ def train(cfg: Config, name: str, outdir: str,
     tput = Throughput(cfg.audio.hop_length, cfg.audio.sample_rate)
     rng = jax.random.PRNGKey(cfg.train.seed + host_id)
 
+    vocoder = None  # neural validation audio (reference train_fastspeech.py:446)
+    if is_host0 and cfg.train.melgan_vocoder and cfg.train.vocoder_checkpoint:
+        try:
+            from fastspeech2_tpu.vocoder import load_melgan
+
+            vocoder = load_melgan(cfg.train.vocoder_checkpoint)
+            log.info("validation audio via MelGAN %s",
+                     cfg.train.vocoder_checkpoint)
+        except Exception as e:  # audio is best-effort; fall back to GL
+            log.warning("MelGAN load failed (%s); Griffin-Lim audio", e)
+
     step = step0
     profiling = {"active": False, "stop_at": -1}
     with mesh:
@@ -229,7 +242,8 @@ def train(cfg: Config, name: str, outdir: str,
                         try:
                             _log_validation_sample(model, ts, valid_ds,
                                                    metrics, step, cfg,
-                                                   audio_steps=30)
+                                                   audio_steps=30,
+                                                   vocoder=vocoder)
                         except Exception as e:  # images are best-effort
                             log.warning("validation sample logging failed: %s", e)
 

@@ -8,5 +8,6 @@ JAX implementation with a translator for that checkpoint format.
 from fastspeech2_tpu.vocoder.melgan import (  # noqa: F401
     MelGANGenerator,
     init_melgan,
+    load_melgan,
     melgan_params_from_torch,
 )

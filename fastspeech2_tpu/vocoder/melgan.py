@@ -177,6 +177,42 @@ class MelGANGenerator:
         return wav[:, : -(pad_frames * self.cfg.hop_length)]
 
 
+def load_melgan(path: str, cfg: MelGANConfig = MelGANConfig(),
+                bf16: bool = False, batch_frames: int = 256):
+    """Load a seungwonpark/melgan-format torch checkpoint and return a
+    callable ``(L, n_mels) log-mel -> (L*hop,) float waveform`` for
+    ``infer.synthesize.vocode(vocoder=...)`` (the reference instead pulls the
+    same weights from torch.hub at runtime, ``inference.py:183-193``).
+
+    Accepts a raw generator state_dict or a training checkpoint carrying it
+    under ``model_g`` / ``generator`` / ``model``. Mels pad to a multiple of
+    ``batch_frames`` so the jit cache holds a few shapes, not one per mel.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj
+    for key in ("model_g", "generator", "model", "state_dict"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if hasattr(v, "__array__") or hasattr(v, "numpy")}
+    params = melgan_params_from_torch(sd, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    gen = MelGANGenerator(cfg, bf16=bf16)
+    jitted = jax.jit(gen.inference)
+
+    def vocoder(mel: np.ndarray) -> np.ndarray:
+        L = mel.shape[0]
+        pad = (-L) % batch_frames
+        m = np.pad(mel.astype(np.float32), ((0, pad), (0, 0)),
+                   constant_values=math.log(1e-5))
+        wav = jitted(params, jnp.asarray(m[None]))
+        return np.asarray(wav)[0, : L * cfg.hop_length]
+
+    return vocoder
+
+
 def _fold_weight_norm(sd: Dict[str, np.ndarray], base: str) -> np.ndarray:
     g = np.asarray(sd[f"{base}.weight_g"])
     v = np.asarray(sd[f"{base}.weight_v"])

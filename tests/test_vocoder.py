@@ -90,3 +90,73 @@ def test_weight_norm_folding(rng):
     with torch.no_grad():
         expect = conv.weight.detach().numpy()
     np.testing.assert_allclose(folded, expect, atol=1e-6)
+
+
+def _torch_seungwonpark_generator(n_mels=80, base=32):
+    """The seungwonpark/melgan Generator rebuilt in torch (model/generator.py
+    + model/res_stack.py of that repo): the checkpoint-format oracle for
+    load_melgan / melgan_params_from_torch."""
+    import torch.nn as nn
+
+    wn = torch.nn.utils.weight_norm
+
+    def res_stack(ch):
+        class ResStack(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = nn.ModuleList([
+                    nn.Sequential(
+                        nn.LeakyReLU(0.2),
+                        nn.ReflectionPad1d(3 ** i),
+                        wn(nn.Conv1d(ch, ch, 3, dilation=3 ** i)),
+                        nn.LeakyReLU(0.2),
+                        wn(nn.Conv1d(ch, ch, 1)),
+                    ) for i in range(3)
+                ])
+
+            def forward(self, x):
+                for block in self.blocks:
+                    x = x + block(x)
+                return x
+        return ResStack()
+
+    layers = [nn.ReflectionPad1d(3), wn(nn.Conv1d(n_mels, base, 7))]
+    ch = base
+    for r in (8, 8, 2, 2):
+        layers += [nn.LeakyReLU(0.2),
+                   wn(nn.ConvTranspose1d(ch, ch // 2, 2 * r, stride=r,
+                                         padding=r // 2 + r % 2,
+                                         output_padding=r % 2))]
+        ch //= 2
+        layers.append(res_stack(ch))
+    layers += [nn.LeakyReLU(0.2), nn.ReflectionPad1d(3),
+               wn(nn.Conv1d(ch, 1, 7)), nn.Tanh()]
+    return torch.nn.Sequential(*layers)
+
+
+def test_load_melgan_checkpoint_matches_torch(tmp_path, rng):
+    """Full-stack oracle: a real seungwonpark-format weight-normed checkpoint
+    on disk -> load_melgan -> waveform must match the torch generator."""
+    from fastspeech2_tpu.vocoder.melgan import MelGANConfig, load_melgan
+
+    torch.manual_seed(7)
+    gen_t = _torch_seungwonpark_generator(base=32)
+    gen_t.eval()
+    ckpt = tmp_path / "melgan_ckpt.pt"
+    torch.save({"model_g": {f"generator.{k}": v
+                            for k, v in gen_t.state_dict().items()}}, ckpt)
+
+    cfg = MelGANConfig(base_channels=32)
+    T = 11
+    mel = (rng.normal(size=(T, 80)).astype(np.float32) - 5.0)
+    vocoder = load_melgan(str(ckpt), cfg, batch_frames=16)
+    wav = vocoder(mel)
+    assert wav.shape == (T * 256,)
+
+    with torch.no_grad():
+        # torch pads like Generator.inference: log(1e-5) tail, then trim
+        m = torch.from_numpy(
+            np.pad(mel, ((0, 16 - T % 16 + 10), (0, 0)),
+                   constant_values=np.log(1e-5).astype(np.float32)).T[None])
+        expect = gen_t(m)[0, 0, : T * 256].numpy()
+    np.testing.assert_allclose(wav, expect, atol=2e-5)
