@@ -54,6 +54,19 @@ def test_synthesizer_text_with_lexicon(small_model):
     assert stats["frames"] == mel.shape[0] > 0
 
 
+def test_matmul_precision_knob(small_model):
+    """matmul_precision="highest" (full-f32 TPU dots for reference-grade
+    parity; PARITY.md) must trace and, on CPU where dots are f32 anyway,
+    match the default path exactly."""
+    cfg, model, params, state = small_model
+    mel_hi = Synthesizer(model, params, state,
+                         matmul_precision="highest").synth_phonemes(
+        "HH AH0 L OW1 pau W ER1 L D")
+    mel_d = Synthesizer(model, params, state).synth_phonemes(
+        "HH AH0 L OW1 pau W ER1 L D")
+    np.testing.assert_allclose(mel_hi, mel_d, atol=1e-6)
+
+
 def test_speed_control_alpha(small_model):
     cfg, model, params, state = small_model
     synth = Synthesizer(model, params, state)
