@@ -255,7 +255,8 @@ def cmd_export(args):
     _setup_logging(None)
     export_inference(args.checkpoint_path, args.out, config_path=args.config,
                      batch=args.batch, max_tokens=args.max_tokens,
-                     max_frames=args.max_frames)
+                     max_frames=args.max_frames, bf16=args.bf16,
+                     matmul_precision=args.precision)
 
 
 def main(argv=None):
@@ -336,6 +337,12 @@ def main(argv=None):
     sp.add_argument("--batch", type=int, default=1)
     sp.add_argument("--max_tokens", type=int, default=192)
     sp.add_argument("--max_frames", type=int, default=1024)
+    sp.add_argument("--bf16", action="store_true",
+                    help="bake the bf16 MXU speed path into the artifact")
+    sp.add_argument("--precision", default="default",
+                    choices=("default", "highest"),
+                    help="matmul precision baked into the artifact; "
+                         "'highest' = full-f32 dots (TPU parity-grade)")
     sp.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)

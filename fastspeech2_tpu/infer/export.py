@@ -21,11 +21,16 @@ log = logging.getLogger("fastspeech2_tpu.export")
 
 def export_inference(checkpoint_path: Optional[str], out_path: str,
                      config_path: Optional[str] = None, batch: int = 1,
-                     max_tokens: int = 192, max_frames: int = 1024) -> str:
+                     max_tokens: int = 192, max_frames: int = 1024,
+                     bf16: bool = False,
+                     matmul_precision: str = "default") -> str:
     """Serialize the inference fn (params baked in) to ``out_path``.
 
     Returns the written path. Loads reference .pth checkpoints or our .npz;
     with no checkpoint, exports a random init (useful for shape contracts).
+    bf16/matmul_precision are baked into the artifact at trace time (same
+    semantics as infer.synthesize.Synthesizer: bf16 = MXU speed path,
+    matmul_precision="highest" = full-f32 dots for TPU parity-grade serving).
     """
     from jax import export as jax_export
 
@@ -57,9 +62,16 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
 
     model = FastSpeech2(cfg)
 
+    import contextlib
+
+    from fastspeech2_tpu.ops.precision import compute_dtype
+
     def infer(xs, ilens):
-        mel, out_lens, durs = model.inference(
-            params, state, xs, ilens, out_maxlen=max_frames)
+        prec = (jax.default_matmul_precision(matmul_precision)
+                if matmul_precision != "default" else contextlib.nullcontext())
+        with compute_dtype(jnp.bfloat16 if bf16 else None), prec:
+            mel, out_lens, durs = model.inference(
+                params, state, xs, ilens, out_maxlen=max_frames)
         return mel, out_lens
 
     exported = jax_export.export(jax.jit(infer))(
