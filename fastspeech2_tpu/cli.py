@@ -173,6 +173,12 @@ def cmd_synth(args):
     logging.info("synthesized %s frames (%s)", mel.shape[0], stats)
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "mel.npy"), mel.T)  # (n_mels, L) like the ref
+    try:  # mel.png artifact (reference inference.py:177-178); best-effort
+        from fastspeech2_tpu.utils.plotting import save_spectrogram_png
+
+        save_spectrogram_png(mel.T, os.path.join(args.out, "mel.png"))
+    except Exception as exc:
+        logging.warning("mel.png not written: %s", exc)
     vocoder = None
     vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
     if vocoder_path:

@@ -68,3 +68,31 @@ def plot_waveform_to_numpy(wav: np.ndarray) -> np.ndarray:
         h = 64
         img = np.zeros((h, max(len(wav) // 64, 1)), np.float32)
         return _colormap_fallback(img)
+
+
+def save_spectrogram_png(mel: np.ndarray, path: str) -> None:
+    """Write the (n_mels, T) mel as a PNG file (reference inference.py:178
+    saves mel.png next to mel.npy). Uses matplotlib when available, else the
+    dependency-free fallback image via PIL, else skips with an error."""
+    mel = np.asarray(mel)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 4))
+        im = ax.imshow(mel, aspect="auto", origin="lower", interpolation="none")
+        plt.colorbar(im, ax=ax)
+        ax.set_xlabel("Frames")
+        ax.set_ylabel("Channels")
+        plt.tight_layout()
+        fig.savefig(path)
+        plt.close(fig)
+        return
+    except Exception:
+        pass
+    from PIL import Image  # pillow ships with matplotlib-less installs too
+
+    img = _colormap_fallback(mel[::-1]).transpose(1, 2, 0)
+    Image.fromarray(img).save(path)
