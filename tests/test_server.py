@@ -160,3 +160,52 @@ def test_synthesizer_mesh_matches_single_device():
     assert mel_b.shape[0] == 3 and len_b.shape == (3,)
     np.testing.assert_array_equal(len_a, len_b)
     np.testing.assert_allclose(mel_a, mel_b, rtol=2e-5, atol=2e-5)
+
+
+def test_serve_with_melgan_vocoder(tmp_path):
+    """wav responses through a neural vocoder (serve --vocoder): a tiny real
+    seungwonpark-format checkpoint loads via load_melgan and the served wav
+    has vocoder length semantics (L * hop samples, 16-bit PCM)."""
+    import socket
+    import struct
+
+    import torch
+
+    import test_vocoder as tv
+    from fastspeech2_tpu.vocoder.melgan import MelGANConfig, load_melgan
+
+    torch.manual_seed(11)
+    gen_t = tv._torch_seungwonpark_generator(base=16)
+    ckpt = tmp_path / "melgan16.pt"
+    torch.save({"model_g": {f"generator.{k}": v
+                            for k, v in gen_t.state_dict().items()}}, ckpt)
+    vocoder = load_melgan(str(ckpt), MelGANConfig(base_channels=16),
+                          batch_frames=16)
+
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    params["duration_predictor"]["out"]["b"] = jnp.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+    synth = Synthesizer(model, params, state)
+
+    ready = threading.Event()
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    threading.Thread(
+        target=serve, args=(synth, cfg),
+        kwargs=dict(host="127.0.0.1", port=port, max_wait_ms=20.0,
+                    ready_event=ready, vocoder=vocoder),
+        daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    ct, body = _post(f"http://127.0.0.1:{port}", {
+        "phonemes": "HH AH0 L OW1 W ER1 L D", "format": "wav"})
+    assert ct == "audio/wav" and body[:4] == b"RIFF"
+    n_samples = struct.unpack("<I", body[40:44])[0] // 2
+    assert n_samples > 0 and n_samples % 256 == 0  # vocoder: L * hop samples
