@@ -74,8 +74,11 @@ def cmd_stats(args):
 
     cfg = load_config(args.config)
     root = args.data_dir or cfg.data.data_dir
+    # emit the exact config keys the user pastes into the data: section
+    # (reference compute_statistics.py:40-65 + README.md:36-46: the config's
+    # e_min/p_min are the NONZERO minima; mean/std over nonzero values)
     out = {}
-    for kind, mean_key in (("energy", "e"), ("pitch", "f0")):
+    for kind, mean_key, cfg_key in (("energy", "e", "e"), ("pitch", "f0", "p")):
         vecs = []
         for f in sorted(glob.glob(os.path.join(root, kind, "*.npy"))):
             vecs.append(remove_outlier(np.load(f)))
@@ -88,8 +91,9 @@ def cmd_stats(args):
             continue
         out[f"{mean_key}_mean"] = float(nz.mean())
         out[f"{mean_key}_std"] = float(nz.std())
-        out[f"{kind}_nonzero_min"] = float(min(v[v > 0].min() for v in vecs if (v > 0).any()))
-        out[f"{kind}_max"] = float(max(v.max() for v in vecs))
+        out[f"{cfg_key}_min"] = float(min(v[v > 0].min() for v in vecs
+                                          if (v > 0).any()))
+        out[f"{cfg_key}_max"] = float(max(v.max() for v in vecs))
         np.save(os.path.join(root, f"{mean_key}_mean.npy"),
                 np.float32(out[f"{mean_key}_mean"]))
         np.save(os.path.join(root, f"{mean_key}_std.npy"),
