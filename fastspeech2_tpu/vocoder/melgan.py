@@ -23,6 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from fastspeech2_tpu.ops.pallas.resstack import (resstack_fused, resstack_tile,
+                                                 stack_params)
+
 Array = jax.Array
 
 LRELU_SLOPE = 0.2
@@ -143,11 +146,33 @@ class MelGANGenerator:
     error vs f32 is ~2e-3 peak (-55 dB). Default f32 for bit-faithful
     vocoding -- fast since the polyphase upsampling path (above) removed the
     pathological f32 conv_transpose lowering.
+
+    fused_resstack: run the three dilated residual blocks of each stage as one
+    Pallas kernel (ops/pallas/resstack.py) -- one HBM round-trip per stage
+    instead of ~12. None (default) enables it on TPU when the stage length is
+    tileable; the XLA loop is the fallback everywhere else.
     """
 
-    def __init__(self, cfg: MelGANConfig = MelGANConfig(), bf16: bool = False):
+    def __init__(self, cfg: MelGANConfig = MelGANConfig(), bf16: bool = False,
+                 fused_resstack: bool | None = None,
+                 fused_min_channels: int = 0,
+                 fused_interpret: bool = False):
         self.cfg = cfg
         self.bf16 = bf16
+        self.fused_resstack = fused_resstack
+        # Stages with C < 128 are zero-padded to 128 lanes inside the kernel
+        # (exact, but 128/C x the HBM bytes); raise this to keep such stages
+        # on the XLA loop if that padding loses on your chip.
+        self.fused_min_channels = fused_min_channels
+        self.fused_interpret = fused_interpret
+
+    def _use_fused(self, S: int, C: int) -> bool:
+        if self.fused_resstack is None:
+            if jax.default_backend() != "tpu":
+                return False
+        elif not self.fused_resstack:
+            return False
+        return C >= self.fused_min_channels and resstack_tile(S) > 0
 
     def __call__(self, params, mel: Array) -> Array:
         if self.bf16:
@@ -157,12 +182,18 @@ class MelGANGenerator:
         for r, block in zip(self.cfg.upsample_rates, params["blocks"]):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = _upsample(block["up"], x, r)
-            for d, stack in zip(self.cfg.resstack_dilations, block["stacks"]):
-                y = jax.nn.leaky_relu(x, LRELU_SLOPE)
-                y = _conv1d_reflect(stack["c1"], y, dilation=d)
-                y = jax.nn.leaky_relu(y, LRELU_SLOPE)
-                y = _conv1d_reflect(stack["c2"], y)
-                x = x + y
+            if self._use_fused(x.shape[1], x.shape[2]):
+                x = resstack_fused(x, *stack_params(block["stacks"]),
+                                   dilations=self.cfg.resstack_dilations,
+                                   interpret=self.fused_interpret)
+            else:
+                for d, stack in zip(self.cfg.resstack_dilations,
+                                    block["stacks"]):
+                    y = jax.nn.leaky_relu(x, LRELU_SLOPE)
+                    y = _conv1d_reflect(stack["c1"], y, dilation=d)
+                    y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                    y = _conv1d_reflect(stack["c2"], y)
+                    x = x + y
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = _conv1d_reflect(params["post"], x)
         return jnp.tanh(x)[..., 0].astype(jnp.float32)
@@ -201,10 +232,14 @@ def load_melgan(path: str, cfg: MelGANConfig = MelGANConfig(),
     params = jax.tree.map(jnp.asarray, params)
     gen = MelGANGenerator(cfg, bf16=bf16)
     jitted = jax.jit(gen.inference)
+    tail = 10  # gen.inference's pad_frames default
 
     def vocoder(mel: np.ndarray) -> np.ndarray:
         L = mel.shape[0]
-        pad = (-L) % batch_frames
+        # Pad so L + tail lands on a batch_frames multiple: bounds the jit
+        # cache AND keeps every upsample-stage length divisible by 2048, the
+        # fused residual-stack kernel's tiling requirement.
+        pad = (-(L + tail)) % batch_frames
         m = np.pad(mel.astype(np.float32), ((0, pad), (0, 0)),
                    constant_values=math.log(1e-5))
         wav = jitted(params, jnp.asarray(m[None]))

@@ -48,6 +48,85 @@ def test_mha_fused_matches_mha_apply(rng):
                                np.asarray(out_xla)[1, :7], rtol=1e-5, atol=1e-5)
 
 
+def _xla_resstack(stacks, x, dilations):
+    from fastspeech2_tpu.vocoder.melgan import _conv1d_reflect
+    for d, stack in zip(dilations, stacks):
+        y = jax.nn.leaky_relu(x, 0.2)
+        y = _conv1d_reflect(stack["c1"], y, dilation=d)
+        y = jax.nn.leaky_relu(y, 0.2)
+        y = _conv1d_reflect(stack["c2"], y)
+        x = x + y
+    return x
+
+
+def test_fused_resstack_matches_xla(rng):
+    """Multi-tile case: S=384 -> tile 128, 3 chunks (left edge with per-layer
+    reflection mirroring, one interior halo tile, right edge)."""
+    from fastspeech2_tpu.ops.pallas.resstack import (resstack_fused,
+                                                     resstack_tile,
+                                                     stack_params)
+
+    B, S, C = 2, 384, 8
+    dilations = (1, 3, 9)
+    stacks = []
+    for _ in dilations:
+        stacks.append({
+            "c1": {"w": jnp.asarray(rng.normal(size=(3, C, C)) * 0.3,
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.normal(size=(C,)), jnp.float32)},
+            "c2": {"w": jnp.asarray(rng.normal(size=(1, C, C)) * 0.3,
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.normal(size=(C,)), jnp.float32)},
+        })
+    x = jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32)
+
+    assert resstack_tile(S) == 128
+    out = resstack_fused(x, *stack_params(stacks), dilations=dilations,
+                         interpret=True)
+    expect = _xla_resstack(stacks, x, dilations)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_resstack_single_tile(rng):
+    """One chunk: both sequence-end mirrors act on the same tile."""
+    from fastspeech2_tpu.ops.pallas.resstack import (resstack_fused,
+                                                     stack_params)
+
+    B, S, C = 1, 128, 8
+    dilations = (1, 3, 9)
+    stacks = [{
+        "c1": {"w": jnp.asarray(rng.normal(size=(3, C, C)) * 0.3, jnp.float32),
+               "b": jnp.asarray(rng.normal(size=(C,)), jnp.float32)},
+        "c2": {"w": jnp.asarray(rng.normal(size=(1, C, C)) * 0.3, jnp.float32),
+               "b": jnp.asarray(rng.normal(size=(C,)), jnp.float32)},
+    } for _ in dilations]
+    x = jnp.asarray(rng.normal(size=(B, S, C)), jnp.float32)
+
+    out = resstack_fused(x, *stack_params(stacks), dilations=dilations,
+                         interpret=True)
+    expect = _xla_resstack(stacks, x, dilations)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_melgan_fused_resstack_generator(rng):
+    """Full generator with the fused stacks (interpret) == the XLA loop."""
+    from fastspeech2_tpu.vocoder.melgan import (MelGANConfig, MelGANGenerator,
+                                                init_melgan)
+
+    cfg = MelGANConfig(n_mels=8, base_channels=32)
+    params = init_melgan(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(rng.normal(size=(1, 16, 8)), jnp.float32)
+
+    ref = MelGANGenerator(cfg, fused_resstack=False)(params, mel)
+    fused = MelGANGenerator(cfg, fused_resstack=True,
+                            fused_interpret=True)(params, mel)
+    assert fused.shape == ref.shape == (1, 16 * cfg.hop_length)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_stft_mel_matches_xla(rng):
     from fastspeech2_tpu.audio.stft import (MelSpectrogram,
                                             energy_from_magnitude,
