@@ -225,17 +225,18 @@ def cmd_serve(args):
         logging.info("serving data-parallel over %d devices", jax.device_count())
     synth = Synthesizer(model, params, state,
                         bf16=jax.default_backend() == "tpu", mesh=mesh)
-    vocoder = None
     vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
     if vocoder_path:
-        from fastspeech2_tpu.vocoder import load_melgan
+        # Fused tts: MelGAN runs inside the same device computation as the
+        # acoustic model (no host round-trip for the mel, one dispatch per
+        # micro-batch instead of one per wav request).
+        from fastspeech2_tpu.vocoder import MelGANGenerator, load_melgan_params
 
-        vocoder = load_melgan(vocoder_path,
-                              bf16=jax.default_backend() == "tpu")
-        logging.info("serving wav with MelGAN checkpoint %s", vocoder_path)
+        gen = MelGANGenerator(bf16=(jax.default_backend() == "tpu"))
+        synth.attach_vocoder(gen, load_melgan_params(vocoder_path))
+        logging.info("serving wav fused with MelGAN checkpoint %s", vocoder_path)
     serve(synth, cfg, host=args.host, port=args.port,
-          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          vocoder=vocoder)
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
 
 def cmd_evaluate(args):

@@ -42,6 +42,7 @@ class _Request:
     alpha: float
     done: threading.Event = field(default_factory=threading.Event)
     mel: Optional[np.ndarray] = None
+    wav: Optional[np.ndarray] = None  # set when the batcher runs fused tts
     error: Optional[str] = None
 
 
@@ -102,10 +103,22 @@ class Batcher:
             if not batch:
                 continue
             try:
-                mels, out_lens = self.synth.mel_from_token_batch(
-                    [r.tokens for r in batch], alpha=batch[0].alpha)
-                for r, mel, n in zip(batch, mels, out_lens):
-                    r.mel = mel[: int(n)]
+                # Fused tts when the synthesizer has a vocoder attached: one
+                # device call produces mel AND wav for the whole micro-batch
+                # (no per-request vocoder dispatches, no mel re-upload).
+                if getattr(self.synth, "_voc", None) is not None:
+                    mels, wavs, wav_lens = self.synth.wav_from_token_batch(
+                        [r.tokens for r in batch], alpha=batch[0].alpha)
+                    hop = self.synth._voc.cfg.hop_length
+                    out_lens = wav_lens // hop
+                    for r, mel, wav, wn in zip(batch, mels, wavs, wav_lens):
+                        r.mel = mel[: int(wn) // hop]
+                        r.wav = wav[: int(wn)]
+                else:
+                    mels, out_lens = self.synth.mel_from_token_batch(
+                        [r.tokens for r in batch], alpha=batch[0].alpha)
+                    for r, mel, n in zip(batch, mels, out_lens):
+                        r.mel = mel[: int(n)]
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
                 self.stats["frames"] += int(np.sum(out_lens))
@@ -178,8 +191,11 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                     "latency_s": round(latency, 4),
                 })
             else:
-                wav = vocode(req.mel, cfg, vocoder=vocoder)
-                wav16 = (np.clip(wav, -1, 1) * 32767).astype("<i2")
+                if req.wav is not None:  # fused path: already int16 PCM
+                    wav16 = req.wav.astype("<i2", copy=False)
+                else:
+                    wav = vocode(req.mel, cfg, vocoder=vocoder)
+                    wav16 = (np.clip(wav, -1, 1) * 32767).astype("<i2")
                 body = _wav_bytes(wav16, cfg.audio.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")

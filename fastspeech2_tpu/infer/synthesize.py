@@ -54,6 +54,10 @@ class Synthesizer:
         # to a multiple of the mesh size
         self.mesh = mesh
         self._jitted = {}
+        # fused text->wav: set by attach_vocoder
+        self._voc = None
+        self._voc_params = None
+        self._jitted_wav = {}
 
     def _fn(self, t_pad: int, l_pad: int):
         key = (t_pad, l_pad)
@@ -79,6 +83,80 @@ class Synthesizer:
             else:
                 self._jitted[key] = jax.jit(infer, static_argnames=("alpha",))
         return self._jitted[key]
+
+    def attach_vocoder(self, gen, voc_params) -> None:
+        """Enable the fused text->wav path: acoustic model + MelGAN generator
+        run as ONE device computation, so the mel never round-trips to the
+        host between them (the reference runs them as two separate models on
+        two host transfers, inference.py:170-193).
+
+        gen: a ``vocoder.MelGANGenerator``; voc_params: its params pytree
+        (e.g. from ``vocoder.load_melgan_params``).
+        """
+        self._voc = gen
+        self._voc_params = voc_params
+        self._jitted_wav = {}
+
+    def _wav_fn(self, t_pad: int, l_pad: int):
+        key = (t_pad, l_pad)
+        if key not in self._jitted_wav:
+            from fastspeech2_tpu.ops.precision import compute_dtype
+            import math as _math
+
+            dt = jnp.bfloat16 if self.bf16 else None
+            gen = self._voc
+            floor = _math.log(1e-5)
+
+            def _prec():
+                return (jax.default_matmul_precision(self.matmul_precision)
+                        if self.matmul_precision != "default"
+                        else contextlib.nullcontext())
+
+            def infer_wav(params, state, voc_params, xs, ilens, alpha):
+                with compute_dtype(dt), _prec():
+                    mel, out_lens, durs = self.model.inference(
+                        params, state, xs, ilens, out_maxlen=l_pad,
+                        alpha=alpha)
+                # Frames past each utterance's length -> the log-mel floor,
+                # the value the vocoder treats as silence. These double as the
+                # tail-flush frames the standalone vocoder path pads in
+                # (melgan.load_melgan); l_pad stays a multiple of 256 so the
+                # fused residual-stack kernel keeps its 2048-sample tiles.
+                valid = (jnp.arange(l_pad)[None, :, None]
+                         < out_lens[:, None, None])
+                mel_v = jnp.where(valid, mel, floor)
+                wav = gen(voc_params, mel_v)
+                # int16 PCM on-device: halves the device->host bytes and the
+                # server writes it straight into the RIFF body.
+                wav16 = jnp.round(
+                    jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+                return mel, wav16, out_lens
+            self._jitted_wav[key] = jax.jit(
+                infer_wav, static_argnames=("alpha",))
+        return self._jitted_wav[key]
+
+    def wav_from_token_batch(
+        self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """List of id sequences -> (mel (B, L, n_mels) f32, wav (B, L*hop)
+        int16 PCM, wav valid lengths = out_lens*hop). Requires
+        attach_vocoder."""
+        assert self._voc is not None, "attach_vocoder first"
+        B = len(token_seqs)
+        t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
+        l_pad = min(_round_up(t_pad * self.frames_per_token, 256),
+                    self.max_frames)
+        xs = np.zeros((B, t_pad), np.int32)
+        ilens = np.ones((B,), np.int32)
+        for i, s in enumerate(token_seqs):
+            xs[i, : len(s)] = s
+            ilens[i] = len(s)
+        mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
+            self.params, self.state, self._voc_params,
+            jnp.asarray(xs), jnp.asarray(ilens), alpha)
+        out_lens = np.asarray(out_lens)
+        return (np.asarray(mel), np.asarray(wav),
+                out_lens * self._voc.cfg.hop_length)
 
     def mel_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,

@@ -1,19 +1,26 @@
 """Fused masked self-attention as a Pallas TPU kernel.
 
-One program per (batch, head): Q/K/V tiles live in VMEM, scores -> masked
-softmax -> re-zero -> PV all happen on-chip, so the (T, T) attention matrix
-never round-trips HBM (the XLA fallback in ops/attention.py materializes it
-twice). Sequence lengths ride in as scalar prefetch and masks are built from
-iota in-kernel -- no (B, T, T) mask tensor exists at all.
+One program per (batch, head, query-block): the query block's full score rows
+-> masked softmax -> re-zero -> PV all happen on-chip, so the (T, T)
+attention matrix never round-trips HBM (the XLA fallback in ops/attention.py
+materializes it twice). K and V stay whole per (batch, head) -- at this model
+family's scale (T <= ~2048, d_k <= 192, bf16) a full (T, d_k) head is under
+0.8 MB, so each query block sees every key and the softmax is exact per row
+with no online-max accumulation. Blocking over query rows bounds the score
+tile to (block_q, T) f32, keeping scoped VMEM well under the 16 MB limit at
+any T the serving path produces (whole-T scores OOM'd at T=1536). The
+query-block index is innermost in the grid, so Mosaic's pipeline keeps the
+K/V blocks resident across a head's query blocks instead of re-fetching.
+
+Sequence lengths ride in as scalar prefetch and masks are built from iota
+in-kernel -- no (B, T, T) mask tensor exists at all.
 
 Numerics match ops/attention.py:masked_softmax (the reference's
 masked_fill(-inf) -> softmax -> re-zero, core/attention.py:58-65): fully-padded
 query rows produce exact zeros.
 
-Sized for this model family (T <= ~896, d_k <= 192): a whole (T, d_k) head fits
-comfortably in VMEM (~0.7 MB), so no K/V streaming is needed; the win is fusion,
-not tiling. Used on the deterministic (inference) path; training keeps the XLA
-fallback (attention dropout needs materialized weights for the VJP anyway).
+Used on the deterministic (inference) path; training keeps the XLA fallback
+(attention dropout needs materialized weights for the VJP anyway).
 """
 
 from __future__ import annotations
@@ -29,11 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 block_q: int):
     b = pl.program_id(0)
+    qi = pl.program_id(2)
     length = len_ref[b]
-    q = q_ref[0, 0]  # (T, dk)
-    k = k_ref[0, 0]
+    q = q_ref[0, 0]  # (block_q, dk)
+    k = k_ref[0, 0]  # (T, dk)
     v = v_ref[0, 0]
 
     # Mosaic's default f32 dot truncates to a bf16 decomposition (see
@@ -45,11 +54,11 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=prec,
-    ) * scale  # (T, T)
+    ) * scale  # (block_q, T)
 
-    T = scores.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    T = scores.shape[1]
+    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
     valid = (row < length) & (col < length)
 
     neg = jnp.finfo(jnp.float32).min
@@ -65,24 +74,44 @@ def _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pick_block_q(T: int) -> int:
+    # Whole-T when the f32 score tile fits the ~4 MB budget (a few live
+    # copies fit the 16 MB scoped-VMEM limit with room for Q/K/V/O tiles;
+    # measured fastest at the bench shape T=896); else the largest
+    # power-of-two block dividing T that fits.
+    if T * T * 4 <= 4 * 1024 * 1024:
+        return T
+    for bq in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if T % bq == 0 and bq * T * 4 <= 4 * 1024 * 1024:
+            return bq
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_q"))
 def fused_attention(q: Array, k: Array, v: Array, lengths: Array,
-                    *, interpret: bool = False) -> Array:
+                    *, interpret: bool = False,
+                    block_q: int | None = None) -> Array:
     """(B, H, T, dk) Q/K/V + (B,) lengths -> (B, H, T, dk) attention output.
 
     Scale is 1/sqrt(dk) like the reference (core/attention.py:55-57).
+    block_q overrides the query-block size (must divide T); default picks the
+    largest VMEM-safe power of two.
     """
     B, H, T, dk = q.shape
     scale = 1.0 / float(np.sqrt(dk))
-    spec = pl.BlockSpec((1, 1, T, dk), lambda b, h, lens: (b, h, 0, 0),
-                        memory_space=pltpu.VMEM)
+    bq = block_q if block_q is not None else _pick_block_q(T)
+    assert T % bq == 0, (T, bq)
+    qspec = pl.BlockSpec((1, 1, bq, dk), lambda b, h, i, lens: (b, h, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, T, dk), lambda b, h, i, lens: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
+        grid=(B, H, T // bq),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
     )
-    kernel = functools.partial(_attn_kernel, scale=scale)
+    kernel = functools.partial(_attn_kernel, scale=scale, block_q=bq)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -50,7 +50,10 @@ LRELU_SLOPE = 0.2
 
 
 def _lrelu(x):
-    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+    # Compare in f32: Mosaic can't lower bf16 vector cmpf (and bf16->f32 is
+    # exact, so this changes nothing in f32 mode either).
+    x32 = x.astype(jnp.float32)
+    return jnp.where(x32 >= 0, x32, LRELU_SLOPE * x32).astype(x.dtype)
 
 
 def _resstack_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,

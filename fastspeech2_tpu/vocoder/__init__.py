@@ -6,8 +6,10 @@ JAX implementation with a translator for that checkpoint format.
 """
 
 from fastspeech2_tpu.vocoder.melgan import (  # noqa: F401
+    MelGANConfig,
     MelGANGenerator,
     init_melgan,
     load_melgan,
+    load_melgan_params,
     melgan_params_from_torch,
 )

@@ -219,17 +219,7 @@ def load_melgan(path: str, cfg: MelGANConfig = MelGANConfig(),
     under ``model_g`` / ``generator`` / ``model``. Mels pad to a multiple of
     ``batch_frames`` so the jit cache holds a few shapes, not one per mel.
     """
-    import torch
-
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    sd = obj
-    for key in ("model_g", "generator", "model", "state_dict"):
-        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
-            sd = sd[key]
-    sd = {k: np.asarray(v) for k, v in sd.items()
-          if hasattr(v, "__array__") or hasattr(v, "numpy")}
-    params = melgan_params_from_torch(sd, cfg)
-    params = jax.tree.map(jnp.asarray, params)
+    params = load_melgan_params(path, cfg)
     gen = MelGANGenerator(cfg, bf16=bf16)
     jitted = jax.jit(gen.inference)
     tail = 10  # gen.inference's pad_frames default
@@ -246,6 +236,23 @@ def load_melgan(path: str, cfg: MelGANConfig = MelGANConfig(),
         return np.asarray(wav)[0, : L * cfg.hop_length]
 
     return vocoder
+
+
+def load_melgan_params(path: str, cfg: MelGANConfig = MelGANConfig()):
+    """Load a seungwonpark/melgan-format torch checkpoint into our params
+    pytree (device arrays). Use with ``MelGANGenerator`` directly — e.g. the
+    fused ``Synthesizer.attach_vocoder`` path that keeps the mel on device."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj
+    for key in ("model_g", "generator", "model", "state_dict"):
+        if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+            sd = sd[key]
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if hasattr(v, "__array__") or hasattr(v, "numpy")}
+    params = melgan_params_from_torch(sd, cfg)
+    return jax.tree.map(jnp.asarray, params)
 
 
 def _fold_weight_norm(sd: Dict[str, np.ndarray], base: str) -> np.ndarray:

@@ -32,6 +32,30 @@ def test_fused_attention_matches_xla(rng):
     assert np.all(np.asarray(out)[1, :, 9:] == 0.0)
 
 
+
+def test_fused_attention_query_blocked(rng):
+    """block_q < T: per-block row masking and K/V reuse across query blocks
+    match the single-block kernel and the XLA reference."""
+    B, H, T, dk = 2, 2, 32, 8
+    q = jnp.asarray(rng.normal(size=(B, H, T, dk)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, dk)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, T, dk)), jnp.float32)
+    lengths = jnp.asarray([32, 21], jnp.int32)  # 21: cuts inside a block
+
+    blocked = fused_attention(q, k, v, lengths, interpret=True, block_q=8)
+    whole = fused_attention(q, k, v, lengths, interpret=True, block_q=32)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                               rtol=1e-6, atol=1e-6)
+
+    from fastspeech2_tpu.ops.attention import masked_softmax
+    mask = attention_mask(lengths, T)[:, None, :, :]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dk)
+    expect = jnp.einsum("bhqk,bhkd->bhqd", masked_softmax(scores, mask), v)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(blocked)[1, :, 21:] == 0.0)
+
+
 def test_mha_fused_matches_mha_apply(rng):
     B, T, D, H = 2, 12, 32, 2
     params = init_mha(jax.random.PRNGKey(0), D)

@@ -209,3 +209,95 @@ def test_serve_with_melgan_vocoder(tmp_path):
     assert ct == "audio/wav" and body[:4] == b"RIFF"
     n_samples = struct.unpack("<I", body[40:44])[0] // 2
     assert n_samples > 0 and n_samples % 256 == 0  # vocoder: L * hop samples
+
+
+def test_fused_tts_matches_separate_path():
+    """wav_from_token_batch (model+vocoder in ONE device call) == running
+    mel inference, floor-masking the padded frames, and vocoding separately."""
+    import jax.numpy as jnp
+    import math
+
+    from fastspeech2_tpu.vocoder.melgan import (MelGANConfig, MelGANGenerator,
+                                                init_melgan)
+
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["duration_predictor"]["out"]["b"] = jnp.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+
+    vcfg = MelGANConfig(base_channels=16)
+    gen = MelGANGenerator(vcfg)
+    vparams = init_melgan(jax.random.PRNGKey(1), vcfg)
+
+    g = np.random.default_rng(0)
+    seqs = [np.asarray(g.integers(1, 68, n), np.int32) for n in (5, 9)]
+
+    synth = Synthesizer(model, params, state)
+    synth.attach_vocoder(gen, vparams)
+    mel_f, wav_f, wav_lens = synth.wav_from_token_batch(seqs)
+    assert wav_f.dtype == np.int16  # PCM conversion happens on device
+    assert wav_f.shape[1] == mel_f.shape[1] * vcfg.hop_length
+    assert np.all(wav_lens % vcfg.hop_length == 0)
+
+    mel_s, out_lens = synth.mel_from_token_batch(seqs)
+    np.testing.assert_allclose(mel_f, mel_s, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(wav_lens, out_lens * vcfg.hop_length)
+    L = mel_s.shape[1]
+    valid = np.arange(L)[None, :, None] < out_lens[:, None, None]
+    mel_m = np.where(valid, mel_s, math.log(1e-5)).astype(np.float32)
+    wav_s = np.asarray(gen(vparams, jnp.asarray(mel_m)))
+    wav_s16 = np.round(np.clip(wav_s, -1, 1) * 32767.0).astype(np.int16)
+    # +-1 LSB: float noise at the int16 rounding knife-edge
+    np.testing.assert_allclose(wav_f.astype(np.int32),
+                               wav_s16.astype(np.int32), atol=1)
+
+
+def test_serve_fused_tts(tmp_path):
+    """Server with an attached (fused) vocoder: wav responses come from the
+    single-device-call path, mel responses still work."""
+    import socket
+    import struct
+
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.vocoder.melgan import (MelGANConfig, MelGANGenerator,
+                                                init_melgan)
+
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["duration_predictor"]["out"]["b"] = jnp.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+    synth = Synthesizer(model, params, state)
+    vcfg = MelGANConfig(base_channels=16)
+    synth.attach_vocoder(MelGANGenerator(vcfg),
+                         init_melgan(jax.random.PRNGKey(1), vcfg))
+
+    ready = threading.Event()
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    threading.Thread(
+        target=serve, args=(synth, cfg),
+        kwargs=dict(host="127.0.0.1", port=port, max_wait_ms=20.0,
+                    ready_event=ready),
+        daemon=True).start()
+    assert ready.wait(timeout=30)
+
+    url = f"http://127.0.0.1:{port}"
+    ct, body = _post(url, {"phonemes": "HH AH0 L OW1 W ER1 L D",
+                           "format": "wav"})
+    assert ct == "audio/wav" and body[:4] == b"RIFF"
+    n_samples = struct.unpack("<I", body[40:44])[0] // 2
+    assert n_samples > 0 and n_samples % 256 == 0
+
+    ct, body = _post(url, {"phonemes": "HH AH0 L OW1", "format": "mel"})
+    obj = json.loads(body)
+    mel = np.asarray(obj["mel"], np.float32)
+    assert mel.ndim == 2 and mel.shape[1] == 80 and obj["frames"] == len(mel)
