@@ -184,8 +184,15 @@ def encoder_apply(
     # ops/pallas/attention.py), whose multi-pass scratch overflows VMEM at
     # T=896 -- and the f32 XLA path is full-precision and equally fast
     d_k = cfg.attention_dim // cfg.attention_heads
-    use_fused = (fused_attention and deterministic and lengths is not None
-                 and d_k >= 128 and current_compute_dtype() == jnp.bfloat16)
+    fusable = (fused_attention and lengths is not None and d_k >= 128
+               and current_compute_dtype() == jnp.bfloat16)
+    use_fused = fusable and deterministic
+    # training variant: custom-VJP kernel with in-kernel hash dropout; whole-T
+    # per program, so only for T within its VMEM budget (attention_train.MAX_T)
+    from fastspeech2_tpu.ops.pallas.attention_train import MAX_T
+
+    use_fused_train = (fusable and not deterministic and rng is not None
+                       and xs.shape[1] <= MAX_T)
     n_rngs = 2 + 4 * cfg.num_blocks
     rngs = (jax.random.split(rng, n_rngs) if rng is not None
             else [None] * n_rngs)
@@ -211,6 +218,13 @@ def encoder_apply(
 
             att = mha_fused_apply(layer["attn"], y, lengths, cfg.attention_heads)
             next(r)
+        elif use_fused_train:
+            from fastspeech2_tpu.ops.pallas.attention_train import (
+                mha_fused_train_apply)
+
+            att = mha_fused_train_apply(
+                layer["attn"], y, lengths, cfg.attention_heads,
+                next(r), cfg.attention_dropout_rate)
         else:
             att = mha_apply(
                 layer["attn"], y, y, y, mask, cfg.attention_heads,

@@ -224,7 +224,9 @@ class FastSpeech2:
         x_masks = attention_mask(batch.ilens, T)
 
         hs = encoder_apply(params["encoder"], self.encoder_cfg, batch.xs, x_masks,
-                           rng=rngs.get("encoder"), deterministic=not training)
+                           rng=rngs.get("encoder"), deterministic=not training,
+                           lengths=batch.ilens,
+                           fused_attention=self._use_fused_attention())
 
         # ground-truth quantized pitch/energy (no grad flows: table lookups only)
         one_hot_energy = to_one_hot(batch.es, self.energy_bins)
@@ -249,7 +251,8 @@ class FastSpeech2:
 
         h_masks = attention_mask(batch.olens, L)
         before, after, new_state = self._decode(
-            params, state, hs2, h_masks, None, rngs=rngs, training=training)
+            params, state, hs2, h_masks, None, rngs=rngs, training=training,
+            lengths=batch.olens)
 
         loss, report = self._loss(before, after, d_outs, e_outs, p_outs, batch,
                                   tok_mask, mel_mask)

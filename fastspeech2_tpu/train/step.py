@@ -44,10 +44,11 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
     for forward AND backward, while master params, optimizer state, losses,
     layernorms, and softmax stay f32 -- the standard TPU mixed-precision
     recipe. Default off = reference-parity f32 numerics. Measured on a v5e at
-    the full model size both settings run ~42 ms/step with losses equal to 6
-    significant digits (XLA already lowers f32 matmuls onto the MXU
-    efficiently); the switch matters for HBM-constrained scale-ups, not
-    step time here.
+    the full model size: f32 and plain-XLA bf16 both run ~42-43 ms/step with
+    losses equal to 6 significant digits (XLA already lowers f32 matmuls onto
+    the MXU efficiently); bf16 additionally enables the fused Pallas training
+    attention (ops/pallas/attention_train.py), which brings the step to
+    ~34 ms (-22%).
     """
     from fastspeech2_tpu.ops.precision import compute_dtype
 
