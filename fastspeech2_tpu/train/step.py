@@ -47,8 +47,10 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
     the full model size: f32 and plain-XLA bf16 both run ~42-43 ms/step with
     losses equal to 6 significant digits (XLA already lowers f32 matmuls onto
     the MXU efficiently); bf16 additionally enables the fused Pallas training
-    attention (ops/pallas/attention_train.py), which brings the step to
-    ~34 ms (-22%).
+    attention (ops/pallas/attention_train.py) and hash-mask dropout
+    (ops/nn.py:dropout), which together bring the step to ~23 ms (1.9x).
+    Post-change profile: the k=9 conv-FFN matmuls dominate at ~190 TF/s --
+    MXU roofline -- so the remaining time is real model FLOPs.
     """
     from fastspeech2_tpu.ops.precision import compute_dtype
 

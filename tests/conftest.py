@@ -25,3 +25,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def small_cfg(**train_kw):
+    """Tiny full-featured model config shared across test modules (importing
+    between test modules breaks when pytest collects a subset)."""
+    from fastspeech2_tpu.config import Config, ModelConfig, TrainConfig
+
+    return Config(
+        model=ModelConfig(adim=32, aheads=2, elayers=1, eunits=64, ddim=32,
+                          dlayers=1, dunits=64, postnet_layers=2, postnet_chans=16,
+                          positionwise_conv_kernel_size=3,
+                          duration_predictor_chans=16),
+        train=TrainConfig(**train_kw) if train_kw else TrainConfig(),
+    )

@@ -103,7 +103,7 @@ def test_gta_generation(tmp_path):
     from fastspeech2_tpu.data.dataset import TTSDataset, write_fake_feature_store
     from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
     from fastspeech2_tpu.train.gta import generate_gta
-    from tests.test_pipeline import small_cfg
+    from conftest import small_cfg
 
     root = str(tmp_path / "store")
     filelist = write_fake_feature_store(root, n_utts=5, seed=2)

@@ -156,3 +156,29 @@ def test_masked_softmax_matches_torch_fill():
     t_attn = torch.nan_to_num(t_attn)  # fully-masked rows: reference NaNs->0 anyway
     ours = masked_softmax(jnp.asarray(scores.numpy()), jnp.asarray(mask.numpy()))
     np.testing.assert_allclose(np.asarray(ours), t_attn.numpy(), atol=1e-6)
+
+
+def test_hash_dropout_speed_mode():
+    """Under a compute-dtype context, dropout uses the counter-hash mask:
+    deterministic per key, key-dependent, correct keep rate and 1/(1-p)
+    scaling; f32 default path keeps jax.random.bernoulli."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.precision import compute_dtype
+
+    x = jnp.ones((64, 256), jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    with compute_dtype(jnp.bfloat16):
+        y1 = nn.dropout(k1, x, 0.25, deterministic=False)
+        y1b = nn.dropout(k1, x, 0.25, deterministic=False)
+        y2 = nn.dropout(k2, x, 0.25, deterministic=False)
+    a1 = np.asarray(y1)
+    assert np.array_equal(a1, np.asarray(y1b))            # deterministic
+    assert not np.array_equal(a1, np.asarray(y2))         # key-dependent
+    vals = np.unique(a1)
+    assert set(np.round(vals, 5)) <= {0.0, np.float32(np.round(1 / 0.75, 5))}
+    assert abs((a1 != 0).mean() - 0.75) < 0.02            # keep rate
+
+    # f32 path unchanged (threefry bernoulli)
+    y_ref = nn.dropout(k1, x, 0.25, deterministic=False)
+    mask_ref = np.asarray(jax.random.bernoulli(k1, 0.75, x.shape))
+    assert np.array_equal(np.asarray(y_ref) != 0, mask_ref)

@@ -11,20 +11,11 @@ import jax
 import numpy as np
 import pytest
 
+from conftest import small_cfg
 from fastspeech2_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 from fastspeech2_tpu.data.dataset import write_fake_feature_store
 from fastspeech2_tpu.infer.synthesize import Synthesizer, vocode, write_wav
 from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
-
-
-def small_cfg(**train_kw) -> Config:
-    return Config(
-        model=ModelConfig(adim=32, aheads=2, elayers=1, eunits=64, ddim=32,
-                          dlayers=1, dunits=64, postnet_layers=2, postnet_chans=16,
-                          positionwise_conv_kernel_size=3,
-                          duration_predictor_chans=16),
-        train=TrainConfig(**train_kw) if train_kw else TrainConfig(),
-    )
 
 
 @pytest.fixture(scope="module")

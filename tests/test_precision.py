@@ -43,7 +43,7 @@ def test_conv_bf16_close_to_f32(rng):
 def test_model_inference_bf16(rng):
     """Full model under bf16: same durations (duration rounding is robust),
     mel close to f32."""
-    from tests.test_pipeline import small_cfg
+    from conftest import small_cfg
     from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
 
     cfg = small_cfg()
