@@ -63,22 +63,29 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(ts: TrainState, batch: Batch, rng: Array):
-        micros = jax.tree.map(
-            lambda x: x.reshape((accum_grad, x.shape[0] // accum_grad) + x.shape[1:]),
-            batch)
+        if accum_grad == 1:
+            # no accumulation: skip the scan wrapper (a 1-iteration scan still
+            # zero-initializes and copies the whole grad pytree)
+            (_, (reports, new_model_state)), grads = grad_fn(
+                ts.params, ts.model_state, batch, rng)
+        else:
+            micros = jax.tree.map(
+                lambda x: x.reshape(
+                    (accum_grad, x.shape[0] // accum_grad) + x.shape[1:]),
+                batch)
 
-        def micro_step(carry, inp):
-            grads_acc, model_state = carry
-            micro, mrng = inp
-            (_, (report, new_state)), grads = grad_fn(
-                ts.params, model_state, micro, mrng)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, new_state), report
+            def micro_step(carry, inp):
+                grads_acc, model_state = carry
+                micro, mrng = inp
+                (_, (report, new_state)), grads = grad_fn(
+                    ts.params, model_state, micro, mrng)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, new_state), report
 
-        zeros = jax.tree.map(jnp.zeros_like, ts.params)
-        rngs = jax.random.split(rng, accum_grad)
-        (grads, new_model_state), reports = jax.lax.scan(
-            micro_step, (zeros, ts.model_state), (micros, rngs))
+            zeros = jax.tree.map(jnp.zeros_like, ts.params)
+            rngs = jax.random.split(rng, accum_grad)
+            (grads, new_model_state), reports = jax.lax.scan(
+                micro_step, (zeros, ts.model_state), (micros, rngs))
 
         updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
