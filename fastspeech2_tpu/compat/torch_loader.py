@@ -13,9 +13,12 @@ Checkpoint formats handled (reference train_fastspeech.py:229-239, inference.py:
 - dict with "model" (state_dict), "hp_str", "step", ... (current format)
 - a bare state_dict ("old model" format, loaded with strict=False there)
 
-The released-checkpoint traps from SURVEY.md 2.1 (module renamed ``encoders`` ->
-``encoders_``, 56-symbol embedding, 256-dim decoder) are handled by reading
-shapes from the state_dict itself when they disagree with the config.
+The released-checkpoint traps from SURVEY.md 2.1: the ``encoders`` ->
+``encoders_`` module rename is accepted under either name (``_SD``); an
+undersized symbol embedding (56-symbol-era checkpoints) is zero-padded to the
+frontend vocabulary with a warning; decoder-width/``feat_out`` differences are
+covered by rebuilding the config from the checkpoint's embedded ``hp_str``
+(``load_torch_checkpoint``) rather than by shape surgery.
 """
 
 from __future__ import annotations
@@ -149,6 +152,24 @@ def params_from_state_dict(
         "feat_out": {"w": _t(sd("feat_out.weight")),
                      "b": np.asarray(sd("feat_out.bias"))},
     }
+    # Released-checkpoint trap (SURVEY.md 2.1): some published checkpoints
+    # were trained with a 56-symbol vocabulary. Zero-pad the embedding to the
+    # frontend's vocabulary so token ids beyond the checkpoint's rows map to
+    # a deterministic zero vector (and are loud in the log) instead of
+    # jnp.take's silent clip-to-last-row.
+    from fastspeech2_tpu.text.symbols import NUM_PHONEMES
+
+    emb = params["encoder"].get("embed", {}).get("w")
+    if emb is not None and emb.shape[0] < NUM_PHONEMES:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint embedding has %d symbol rows < frontend vocabulary "
+            "%d (a released-checkpoint quirk); ids >= %d will embed to zeros",
+            emb.shape[0], NUM_PHONEMES, emb.shape[0])
+        pad = np.zeros((NUM_PHONEMES - emb.shape[0], emb.shape[1]), emb.dtype)
+        params["encoder"]["embed"]["w"] = np.concatenate([emb, pad], axis=0)
+
     state: dict = {}
     if m.postnet_layers > 0:
         layers, bn = [], []

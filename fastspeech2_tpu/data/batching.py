@@ -29,9 +29,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pad_batch(utts: Sequence[Utterance], t_pad: int, l_pad: int,
-              n_mels: int = 80) -> Batch:
-    """Pad a list of utterances to static (T, L) shapes (zero padding)."""
+              n_mels: int = 0) -> Batch:
+    """Pad a list of utterances to static (T, L) shapes (zero padding).
+
+    n_mels defaults to the utterances' own mel width, so non-80-bin configs
+    (audio.num_mels) work without every caller threading the value through.
+    """
     B = len(utts)
+    if n_mels <= 0:
+        n_mels = utts[0].mel.shape[1]
     xs = np.zeros((B, t_pad), np.int32)
     ds = np.zeros((B, t_pad), np.int32)
     ys = np.zeros((B, l_pad, n_mels), np.float32)
@@ -111,9 +117,22 @@ class BucketBatcher:
             utts = [u for u in utts if u.mel.shape[0] <= self.max_frames]
             if not utts:
                 continue
-            while len(utts) < self.batch_size:  # backfill dropped overlong utts
-                utts.append(utts[len(utts) % max(len(utts), 1)])
-            t_pad = _round_up(max(len(u.tokens) for u in utts), self.token_multiple)
-            l_pad = _round_up(max(u.mel.shape[0] for u in utts), self.frame_multiple)
-            l_pad = min(l_pad, _round_up(self.max_frames, self.frame_multiple))
-            yield pad_batch(utts, t_pad, l_pad), (t_pad, l_pad)
+            base = len(utts)  # backfill dropped overlong utts round-robin
+            while len(utts) < self.batch_size:
+                utts.append(utts[(len(utts) - base) % base])
+            yield self._padded(utts)
+        if not self.drop_remainder and self.num_hosts == 1:
+            # tail utterances beyond the last full batch: yield them as one
+            # smaller batch (exact -- no duplicate-weighting; costs at most
+            # one extra compiled shape, e.g. the validation loop)
+            tail = [self.dataset[int(i)]
+                    for i in order[len(starts) * self.batch_size:]]
+            tail = [u for u in tail if u.mel.shape[0] <= self.max_frames]
+            if tail:
+                yield self._padded(tail)
+
+    def _padded(self, utts: List[Utterance]) -> Tuple[Batch, Tuple[int, int]]:
+        t_pad = _round_up(max(len(u.tokens) for u in utts), self.token_multiple)
+        l_pad = _round_up(max(u.mel.shape[0] for u in utts), self.frame_multiple)
+        l_pad = min(l_pad, _round_up(self.max_frames, self.frame_multiple))
+        return pad_batch(utts, t_pad, l_pad), (t_pad, l_pad)

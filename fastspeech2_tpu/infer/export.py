@@ -66,17 +66,20 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
 
     from fastspeech2_tpu.ops.precision import compute_dtype
 
-    def infer(xs, ilens):
+    def infer(xs, ilens, alphas):
         prec = (jax.default_matmul_precision(matmul_precision)
                 if matmul_precision != "default" else contextlib.nullcontext())
         with compute_dtype(jnp.bfloat16 if bf16 else None), prec:
             mel, out_lens, durs = model.inference(
-                params, state, xs, ilens, out_maxlen=max_frames)
+                params, state, xs, ilens, out_maxlen=max_frames,
+                alpha=alphas)
         return mel, out_lens
 
     exported = jax_export.export(jax.jit(infer))(
         jax.ShapeDtypeStruct((batch, max_tokens), jnp.int32),
         jax.ShapeDtypeStruct((batch,), jnp.int32),
+        # per-row speed control rides as a runtime input of the artifact
+        jax.ShapeDtypeStruct((batch,), jnp.float32),
     )
     blob = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -88,9 +91,17 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
 
 
 def load_exported(path: str):
-    """Reload an exported artifact; returns a callable (xs, ilens) -> (mel, out_lens)."""
+    """Reload an exported artifact; returns a callable
+    (xs, ilens, alphas=None) -> (mel, out_lens). alphas defaults to 1.0
+    (normal speed) per row."""
     from jax import export as jax_export
 
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
-    return lambda xs, ilens: exported.call(xs, ilens)
+
+    def call(xs, ilens, alphas=None):
+        if alphas is None:
+            alphas = jnp.ones((xs.shape[0],), jnp.float32)
+        return exported.call(xs, ilens, jnp.asarray(alphas, jnp.float32))
+
+    return call

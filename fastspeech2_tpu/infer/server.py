@@ -50,8 +50,9 @@ class Batcher:
     """Collects concurrent requests into one padded forward pass.
 
     The first request of a batch waits up to ``max_wait_ms`` for company;
-    whatever arrived by then (capped at ``max_batch``) runs together.
-    Same-alpha requests batch together (alpha is a static jit argument).
+    whatever arrived by then (capped at ``max_batch``) runs together. Alpha
+    (speed control) is a traced per-row vector, so requests with different
+    speeds share one batch and never trigger a recompile.
     """
 
     def __init__(self, synthesizer, max_batch: int = 16,
@@ -91,9 +92,6 @@ class Batcher:
                 break
             if nxt is None:
                 break
-            if nxt.alpha != first.alpha:  # different static config: run later
-                self.q.put(nxt)
-                break
             batch.append(nxt)
         return batch
 
@@ -108,7 +106,8 @@ class Batcher:
                 # (no per-request vocoder dispatches, no mel re-upload).
                 if getattr(self.synth, "_voc", None) is not None:
                     mels, wavs, wav_lens = self.synth.wav_from_token_batch(
-                        [r.tokens for r in batch], alpha=batch[0].alpha)
+                        [r.tokens for r in batch],
+                        alpha=[r.alpha for r in batch])
                     hop = self.synth._voc.cfg.hop_length
                     out_lens = wav_lens // hop
                     for r, mel, wav, wn in zip(batch, mels, wavs, wav_lens):
@@ -116,7 +115,8 @@ class Batcher:
                         r.wav = wav[: int(wn)]
                 else:
                     mels, out_lens = self.synth.mel_from_token_batch(
-                        [r.tokens for r in batch], alpha=batch[0].alpha)
+                        [r.tokens for r in batch],
+                        alpha=[r.alpha for r in batch])
                     for r, mel, n in zip(batch, mels, out_lens):
                         r.mel = mel[: int(n)]
                 self.stats["requests"] += len(batch)
@@ -161,6 +161,10 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 alpha = float(payload.get("alpha", 1.0))
+                # reject here: a bad alpha inside a shared micro-batch would
+                # otherwise fail every request batched with it
+                if not (0.0 < alpha <= 10.0):
+                    raise ValueError(f"alpha must be in (0, 10], got {alpha}")
                 fmt = payload.get("format", "mel")
                 if fmt not in ("mel", "wav"):
                     raise ValueError(f"format must be mel|wav, got {fmt!r}")

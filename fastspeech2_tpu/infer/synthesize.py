@@ -72,16 +72,18 @@ class Synthesizer:
                         if self.matmul_precision != "default"
                         else contextlib.nullcontext())
 
-            def infer(params, state, xs, ilens, alpha):
+            def infer(params, state, xs, ilens, alphas):
                 with compute_dtype(dt), _prec():
                     return self.model.inference(params, state, xs, ilens,
-                                                out_maxlen=l_pad, alpha=alpha)
+                                                out_maxlen=l_pad, alpha=alphas)
             if self.mesh is not None:
                 from fastspeech2_tpu.parallel.mesh import shard_inference_fn
 
                 self._jitted[key] = shard_inference_fn(infer, self.mesh)
             else:
-                self._jitted[key] = jax.jit(infer, static_argnames=("alpha",))
+                # alpha rides in as a traced (B,) vector: no recompile per
+                # distinct speed, and one batch can mix per-request speeds
+                self._jitted[key] = jax.jit(infer)
         return self._jitted[key]
 
     def attach_vocoder(self, gen, voc_params) -> None:
@@ -112,11 +114,11 @@ class Synthesizer:
                         if self.matmul_precision != "default"
                         else contextlib.nullcontext())
 
-            def infer_wav(params, state, voc_params, xs, ilens, alpha):
+            def infer_wav(params, state, voc_params, xs, ilens, alphas):
                 with compute_dtype(dt), _prec():
                     mel, out_lens, durs = self.model.inference(
                         params, state, xs, ilens, out_maxlen=l_pad,
-                        alpha=alpha)
+                        alpha=alphas)
                 # Frames past each utterance's length -> the log-mel floor,
                 # the value the vocoder treats as silence. These double as the
                 # tail-flush frames the standalone vocoder path pads in
@@ -131,9 +133,28 @@ class Synthesizer:
                 wav16 = jnp.round(
                     jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
                 return mel, wav16, out_lens
-            self._jitted_wav[key] = jax.jit(
-                infer_wav, static_argnames=("alpha",))
+            self._jitted_wav[key] = jax.jit(infer_wav)
         return self._jitted_wav[key]
+
+    def _alphas(self, alpha, B: int, B_pad: int) -> Tuple[np.ndarray, float]:
+        """Normalize a scalar or per-sequence alpha into a padded (B_pad,)
+        f32 vector + its max (for sizing the static frame buffer)."""
+        a = np.asarray(alpha, np.float32).reshape(-1)
+        if a.size == 1:
+            a = np.full((B,), a[0], np.float32)
+        if a.size != B:
+            raise ValueError(f"alpha has {a.size} entries for {B} sequences")
+        if not np.all(np.isfinite(a)) or np.any(a < 0):
+            raise ValueError(f"invalid alpha {alpha!r}")
+        out = np.ones((B_pad,), np.float32)
+        out[:B] = a
+        return out, float(a.max())
+
+    def _l_pad(self, t_pad: int, alpha_max: float) -> int:
+        """Static frame capacity: scales with slow-speech alpha so alpha > 1
+        doesn't truncate (out_lens is clipped to this buffer)."""
+        base = t_pad * self.frames_per_token * max(alpha_max, 1.0)
+        return min(_round_up(int(np.ceil(base)), 256), self.max_frames)
 
     def wav_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
@@ -142,10 +163,12 @@ class Synthesizer:
         int16 PCM, wav valid lengths = out_lens*hop). Requires
         attach_vocoder."""
         assert self._voc is not None, "attach_vocoder first"
+        if not token_seqs or not all(len(s) for s in token_seqs):
+            raise ValueError("empty token sequence: input produced no phonemes")
         B = len(token_seqs)
+        alphas, a_max = self._alphas(alpha, B, B)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
-        l_pad = min(_round_up(t_pad * self.frames_per_token, 256),
-                    self.max_frames)
+        l_pad = self._l_pad(t_pad, a_max)
         xs = np.zeros((B, t_pad), np.int32)
         ilens = np.ones((B,), np.int32)
         for i, s in enumerate(token_seqs):
@@ -153,7 +176,7 @@ class Synthesizer:
             ilens[i] = len(s)
         mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
             self.params, self.state, self._voc_params,
-            jnp.asarray(xs), jnp.asarray(ilens), alpha)
+            jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(alphas))
         out_lens = np.asarray(out_lens)
         return (np.asarray(mel), np.asarray(wav),
                 out_lens * self._voc.cfg.hop_length)
@@ -161,12 +184,18 @@ class Synthesizer:
     def mel_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """List of id sequences -> (mel (B, L, n_mels), out_lens (B,))."""
+        """List of id sequences -> (mel (B, L, n_mels), out_lens (B,)).
+
+        alpha: scalar or per-sequence speed control.
+        """
+        if not token_seqs or not all(len(s) for s in token_seqs):
+            raise ValueError("empty token sequence: input produced no phonemes")
         B = len(token_seqs)
         B_pad = B if self.mesh is None else _round_up(
             B, self.mesh.devices.size)
+        alphas, a_max = self._alphas(alpha, B, B_pad)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
-        l_pad = min(_round_up(t_pad * self.frames_per_token, 256), self.max_frames)
+        l_pad = self._l_pad(t_pad, a_max)
         xs = np.zeros((B_pad, t_pad), np.int32)
         ilens = np.zeros((B_pad,), np.int32)
         for i, s in enumerate(token_seqs):
@@ -174,7 +203,8 @@ class Synthesizer:
             ilens[i] = len(s)
         ilens[B:] = 1  # padded rows: minimal valid length, sliced away below
         mel, out_lens, _ = self._fn(t_pad, l_pad)(
-            self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens), alpha)
+            self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens),
+            jnp.asarray(alphas))
         return np.asarray(mel)[:B], np.asarray(out_lens)[:B]
 
     def synth_phonemes(self, phoneme_str: str, alpha: float = 1.0) -> np.ndarray:

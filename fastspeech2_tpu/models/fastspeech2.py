@@ -291,7 +291,7 @@ class FastSpeech2:
 
     def inference(
         self, params, state, xs: Array, ilens: Array, *,
-        out_maxlen: int, alpha: float = 1.0,
+        out_maxlen: int, alpha=1.0,
     ) -> Tuple[Array, Array, Array]:
         """Free-running synthesis (reference fastspeech.py:339-357, 192-196).
 
@@ -299,6 +299,8 @@ class FastSpeech2:
             xs: (B, T) int token ids, padded.
             ilens: (B,) lengths.
             out_maxlen: static frame-axis capacity of the output buffer.
+            alpha: speed control -- python float, traced scalar, or per-row
+                (B,) vector (see ops.length_regulator.scale_durations).
         Returns:
             (mel (B, out_maxlen, odim) -- zeroed beyond each sequence's length,
              out_lens (B,), durations (B, T) int32)

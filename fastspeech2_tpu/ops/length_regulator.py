@@ -47,7 +47,10 @@ def regulate_length(
     ds = jnp.where(total == 0, tok_mask.astype(jnp.int32), ds)
 
     cum = jnp.cumsum(ds, axis=-1)  # (B, T)
-    out_lens = cum[:, -1]
+    # clip to the static buffer: frames past out_maxlen don't exist, and
+    # callers slice mel[:, :out_lens] -- an unclipped length would silently
+    # over-report (e.g. long utterances under alpha > 1 speed control)
+    out_lens = jnp.minimum(cum[:, -1], out_maxlen)
     frames = jnp.arange(out_maxlen, dtype=jnp.int32)  # (L,)
     # idx[b, j] = #{i : cum[b, i] <= j}  == searchsorted(cum[b], j, 'right')
     idx = jnp.sum(cum[:, None, :] <= frames[None, :, None], axis=-1)  # (B, L)
@@ -60,8 +63,18 @@ def regulate_length(
     return expanded, frame_mask, out_lens
 
 
-def scale_durations(ds: Array, alpha: float) -> Array:
-    """Speed control: round(d * alpha) (reference length_regulator.py:57-59)."""
-    if alpha == 1.0:
-        return ds
+def scale_durations(ds: Array, alpha) -> Array:
+    """Speed control: round(d * alpha) (reference length_regulator.py:57-59).
+
+    alpha may be a python float (static), a traced scalar, or a per-row (B,)
+    vector -- traced alphas keep the jit cache warm across requests with
+    different speeds, and a vector lets one batch mix per-utterance speeds.
+    """
+    if isinstance(alpha, (int, float)):
+        if alpha == 1.0:
+            return ds
+        alpha = jnp.float32(alpha)
+    alpha = jnp.asarray(alpha, jnp.float32)
+    if alpha.ndim == 1:  # (B,) -> broadcast over the token axis
+        alpha = alpha[:, None]
     return jnp.round(ds.astype(jnp.float32) * alpha).astype(jnp.int32)

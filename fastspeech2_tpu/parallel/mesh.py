@@ -40,14 +40,14 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def shard_inference_fn(infer_fn, mesh: Mesh):
-    """Jit an inference fn (params, state, xs, ilens, alpha) -> outputs with
+    """Jit an inference fn (params, state, xs, ilens, alphas) -> outputs with
     the batch axis sharded over 'data' and params replicated. The batch size
-    must be a multiple of the mesh size; alpha is a static argument."""
+    must be a multiple of the mesh size; alphas is a per-row (B,) vector that
+    shards with the batch (traced, so no recompile per speed value)."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         infer_fn,
-        in_shardings=(repl, repl, data, data),
+        in_shardings=(repl, repl, data, data, data),
         out_shardings=data,
-        static_argnames=("alpha",),
     )

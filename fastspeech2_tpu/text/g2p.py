@@ -36,7 +36,7 @@ _LTS_MULTI = [
 _LTS_SINGLE = {
     "a": "AE1", "b": "B", "c": "K", "d": "D", "e": "EH1", "f": "F",
     "g": "G", "h": "HH", "i": "IH1", "j": "JH", "k": "K", "l": "L",
-    "m": "M", "n": "N", "o": "AA1", "p": "P", "r": "R", "s": "S",
+    "m": "M", "n": "N", "o": "AA1", "p": "P", "q": "K", "r": "R", "s": "S",
     "t": "T", "u": "AH1", "v": "V", "w": "W", "x": "K S", "y": "IY0",
     "z": "Z",
 }

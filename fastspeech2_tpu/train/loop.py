@@ -36,6 +36,18 @@ from fastspeech2_tpu.train.step import (
 
 log = logging.getLogger("fastspeech2_tpu.train")
 
+# jitted-callable cache for the periodic validation/eval paths; keyed by
+# (tag, id(model), static shapes) so each (model, shape) compiles exactly once
+# per process instead of once per validation/save interval. id() can't
+# collide: the cached closure keeps its model alive, so the id stays taken.
+_JIT_CACHE: dict = {}
+
+
+def _jit_cached(key, fn):
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(fn)
+    return _JIT_CACHE[key]
+
 
 def evaluate_predictors(model: FastSpeech2, ts: TrainState,
                         valid_ds: TTSDataset) -> dict:
@@ -54,7 +66,6 @@ def evaluate_predictors(model: FastSpeech2, ts: TrainState,
     T = max(len(u.tokens) for u in utts)
     L = max(u.mel.shape[0] for u in utts)
 
-    @jax.jit
     def one(params, b):
         tok_mask = make_non_pad_mask(b.ilens, T)
         mel_mask = make_non_pad_mask(b.olens, L)
@@ -74,6 +85,10 @@ def evaluate_predictors(model: FastSpeech2, ts: TrainState,
         return (jnp.sum(jnp.abs(d_outs - b.ds) * tok_mask) / nd,
                 jnp.sum(jnp.abs(e_outs - b.es) * mel_mask) / nf,
                 jnp.sum(jnp.abs(p_outs - b.ps) * mel_mask) / nf)
+
+    # cache the compiled fn across calls (every save_interval) -- a fresh
+    # @jax.jit wrapper here would retrace + recompile each time
+    one = _jit_cached(("eval_predictors", id(model), T, L), one)
 
     d_l, e_l, p_l = [], [], []
     for u in utts:
@@ -95,9 +110,13 @@ def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg,
     u = valid_ds[0]
     T = len(u.tokens)
     L = max(u.mel.shape[0] * 2, 64)
-    mel, out_lens, _ = model.inference(
+
+    def _infer(params, mstate, xs, ilens):
+        return model.inference(params, mstate, xs, ilens, out_maxlen=L)
+
+    mel, out_lens, _ = _jit_cached(("val_sample", id(model), T, L), _infer)(
         ts.params, ts.model_state, jnp.asarray(u.tokens[None]),
-        jnp.asarray([T], jnp.int32), out_maxlen=L)
+        jnp.asarray([T], jnp.int32))
     pred = np.asarray(mel)[0, : int(out_lens[0])].T
     metrics.image(step, "validation/mel_target",
                   plot_spectrogram_to_numpy(u.mel.T))
@@ -209,7 +228,9 @@ def train(cfg: Config, name: str, outdir: str,
                 rng, sub = jax.random.split(rng)
                 batch = jax.tree.map(jnp.asarray, batch)
                 ts, report = step_fn(ts, batch, sub)
-                step = int(ts.step)
+                # host-side counter: reading ts.step would block on the device
+                # every iteration and serialize host work behind device compute
+                step += 1
                 tput.add(int(np.sum(batch.olens)))
                 if profiling["active"] and step >= profiling["stop_at"]:
                     jax.block_until_ready(ts.params)

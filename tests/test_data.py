@@ -141,3 +141,46 @@ def test_prefetch_order_and_errors():
     it2 = prefetch(iter(range(10**6)), depth=1)
     next(it2)
     it2.close()
+
+
+def test_pad_batch_infers_mel_width(fake_store):
+    """Non-80-bin configs work: pad_batch sizes ys from the mels themselves."""
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    u = ds[0]
+    narrow = u.__class__(utt_id=u.utt_id, tokens=u.tokens,
+                         mel=u.mel[:, :40], durations=u.durations,
+                         energy=u.energy, pitch=u.pitch)
+    b = pad_batch([narrow], t_pad=32, l_pad=128)
+    assert b.ys.shape == (1, 128, 40)
+
+
+def test_batcher_remainder(fake_store):
+    """drop_remainder=False must surface the tail utterances (the validation
+    loop relies on it); drop_remainder=True keeps full batches only."""
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    n = len(ds)
+    bs = next(b for b in (5, 7, 3, 4) if n % b)  # any size with a remainder
+    rows_kept = sum(b.xs.shape[0]
+                    for b, _ in BucketBatcher(ds, batch_size=bs).epoch(0))
+    assert rows_kept == (n // bs) * bs
+    rows_all = sum(b.xs.shape[0]
+                   for b, _ in BucketBatcher(ds, batch_size=bs,
+                                             drop_remainder=False).epoch(0))
+    assert rows_all == n
+
+
+def test_batcher_backfill_round_robin(fake_store):
+    """Overlong-utterance slots backfill by cycling the survivors, not by
+    repeating the first one (which would triple-weight it in the gradient)."""
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    lengths = [ds[i].mel.shape[0] for i in range(len(ds))]
+    cap = sorted(lengths)[len(lengths) // 2]  # drop roughly half
+    for b, _ in BucketBatcher(ds, batch_size=4, max_frames=cap).epoch(0):
+        # count each surviving row's multiplicity: round-robin means counts
+        # differ by at most one
+        keys = [b.xs[i].tobytes() for i in range(b.xs.shape[0])]
+        counts = sorted({k: keys.count(k) for k in set(keys)}.values())
+        assert counts[-1] - counts[0] <= 1, counts

@@ -85,13 +85,15 @@ def test_export_roundtrip(small_model, tmp_path):
     from jax import export as jax_export
     import jax.numpy as jnp
 
-    def infer(xs, ilens):
-        mel, out_lens, _ = model.inference(params, state, xs, ilens, out_maxlen=64)
+    def infer(xs, ilens, alphas):
+        mel, out_lens, _ = model.inference(params, state, xs, ilens,
+                                           out_maxlen=64, alpha=alphas)
         return mel, out_lens
 
     exported = jax_export.export(jax.jit(infer))(
         jax.ShapeDtypeStruct((1, 16), jnp.int32),
-        jax.ShapeDtypeStruct((1,), jnp.int32))
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.float32))
     path = os.path.join(tmp_path, "model.stablehlo")
     with open(path, "wb") as f:
         f.write(exported.serialize())
@@ -99,10 +101,16 @@ def test_export_roundtrip(small_model, tmp_path):
     fn = load_exported(path)
     xs = np.zeros((1, 16), np.int32)
     xs[0, :5] = [1, 2, 3, 4, 5]
+    ones = jnp.ones((1,), jnp.float32)
     mel, out_lens = fn(jnp.asarray(xs), jnp.asarray([5], jnp.int32))
-    mel_direct, out_direct = infer(jnp.asarray(xs), jnp.asarray([5], jnp.int32))
+    mel_direct, out_direct = infer(jnp.asarray(xs), jnp.asarray([5], jnp.int32),
+                                   ones)
     np.testing.assert_allclose(np.asarray(mel), np.asarray(mel_direct), atol=1e-5)
     assert int(out_lens[0]) == int(out_direct[0])
+    # speed control is a runtime input of the artifact
+    _, out_slow = fn(jnp.asarray(xs), jnp.asarray([5], jnp.int32),
+                     alphas=[2.0])
+    assert int(out_slow[0]) == 2 * int(out_direct[0])
 
 
 def test_train_loop_smoke(tmp_path):
@@ -198,3 +206,53 @@ def test_shipped_configs_load_and_match_defaults():
     ref = Config().to_dict()
     ref["train"]["bf16"] = True
     assert speed.to_dict() == ref
+
+
+def test_alpha_scales_output_buffer_no_truncation(small_model):
+    """alpha > 1 must scale the static frame buffer: integer durations double
+    exactly under alpha=2, so the slow mel must be exactly 2x frames -- a
+    fixed buffer would silently truncate long slow utterances."""
+    cfg, model, params, state = small_model
+    synth = Synthesizer(model, params, state, frames_per_token=3)
+    ph = " ".join(["HH AH0 L OW1 pau W ER1 L D"] * 8)  # long utterance
+    base = synth.synth_phonemes(ph, alpha=1.0)
+    slow = synth.synth_phonemes(ph, alpha=2.0)
+    assert slow.shape[0] == 2 * base.shape[0], (slow.shape, base.shape)
+
+
+def test_out_lens_clipped_to_buffer(small_model):
+    """When durations exceed the static buffer, out_lens reports the clipped
+    (real) frame count, not the unclipped sum."""
+    cfg, model, params, state = small_model
+    synth = Synthesizer(model, params, state, frames_per_token=2,
+                        max_frames=64)
+    tokens = np.asarray(
+        [1, 2, 3, 4, 5, 6, 7, 8] * 8, np.int32)  # wants >> 64 frames
+    mel, out_lens = synth.mel_from_token_batch([tokens], alpha=4.0)
+    assert out_lens[0] <= mel.shape[1] == 64
+
+
+def test_per_request_alpha_in_one_batch(small_model):
+    """One batch can mix speeds (the serving path batches mixed-alpha
+    requests); each row honors its own alpha."""
+    cfg, model, params, state = small_model
+    synth = Synthesizer(model, params, state)
+    tokens = np.asarray([10, 11, 12, 13, 14, 15], np.int32)
+    mel, out_lens = synth.mel_from_token_batch(
+        [tokens, tokens], alpha=[1.0, 2.0])
+    assert out_lens[1] == 2 * out_lens[0]
+    # distinct alphas within the same frame bucket don't grow the jit cache
+    # (alpha is traced; only the buffer size l_pad keys a compile)
+    n_compiled = len(synth._jitted)
+    synth.mel_from_token_batch([tokens, tokens], alpha=[1.9, 1.7])
+    synth.mel_from_token_batch([tokens, tokens], alpha=[1.75, 1.85])
+    assert len(synth._jitted) == n_compiled
+
+
+def test_empty_input_raises_value_error(small_model):
+    cfg, model, params, state = small_model
+    synth = Synthesizer(model, params, state)
+    with pytest.raises(ValueError):
+        synth.synth_text("...")
+    with pytest.raises(ValueError):
+        synth.mel_from_token_batch([])

@@ -109,3 +109,11 @@ def test_letter_to_sound_basics():
     assert letter_to_sound("sing") == ["S", "IH1", "NG"]
     assert letter_to_sound("make") == ["M", "EY1", "K"]  # silent final e
     assert letter_to_sound("123") == []
+
+
+def test_letter_to_sound_q_without_u():
+    """'q' not followed by 'u' must map to K, not vanish (qatar != 'atar')."""
+    from fastspeech2_tpu.text.g2p import letter_to_sound
+
+    assert letter_to_sound("qatar")[0] == "K"
+    assert "W" in letter_to_sound("quick")[:2]  # qu digraph still K W
