@@ -242,15 +242,19 @@ def cmd_serve(args):
 def cmd_evaluate(args):
     import jax
 
-    from fastspeech2_tpu.config import load_config
+    from fastspeech2_tpu.config import Config, load_config
     from fastspeech2_tpu.data.dataset import TTSDataset
     from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
-    from fastspeech2_tpu.train.checkpoint import load_checkpoint
+    from fastspeech2_tpu.train.checkpoint import (load_checkpoint,
+                                                  load_checkpoint_meta)
     from fastspeech2_tpu.train.loop import evaluate_predictors
     from fastspeech2_tpu.train.step import TrainState
 
     _setup_logging(None)
-    cfg = load_config(args.config)
+    if args.config:
+        cfg = load_config(args.config)
+    else:  # rebuild from the checkpoint's embedded config (== hp_str)
+        cfg = Config.from_yaml(load_checkpoint_meta(args.checkpoint_path)["hp_yaml"])
     model = FastSpeech2(cfg)
     p0, s0 = model.init(jax.random.PRNGKey(0))
     params, state, _, step, cfg = load_checkpoint(args.checkpoint_path, p0, s0)
