@@ -189,6 +189,27 @@ def test_cli_preprocess_stats(tmp_path):
     cli_main(["stats", "-d", out_dir])
 
 
+def test_cli_evaluate_without_config(small_model, tmp_path, capsys):
+    """evaluate -p <ckpt> with no -c must rebuild the config from the
+    checkpoint's embedded snapshot (== the reference's hp_str path,
+    inference.py:149-152) and run predictor eval end-to-end."""
+    from fastspeech2_tpu.cli import main as cli_main
+    from fastspeech2_tpu.train.checkpoint import save_checkpoint
+
+    cfg, model, params, state = small_model
+    root = str(tmp_path / "store")
+    filelist = write_fake_feature_store(root, n_utts=4, seed=3)
+    cfg = Config(model=cfg.model, train=cfg.train,
+                 data=DataConfig(data_dir=root, train_filelist=filelist,
+                                 valid_filelist=filelist))
+    ckpt = str(tmp_path / "ckpt_00000007.npz")
+    save_checkpoint(ckpt, params, state, None, 7, cfg)
+    cli_main(["evaluate", "-p", ckpt])
+    out = json.loads(capsys.readouterr().out)
+    for k in ("Dur_Loss", "Energy_Loss", "Pitch_Loss"):
+        assert np.isfinite(out[k]), out
+
+
 def test_shipped_configs_load_and_match_defaults():
     """configs/*.yaml must stay in sync with the config dataclasses.
 
