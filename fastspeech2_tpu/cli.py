@@ -168,7 +168,8 @@ def cmd_synth(args):
         params, state = model.init(jax.random.PRNGKey(0))
 
     synth = Synthesizer(model, params, state,
-                        matmul_precision=getattr(args, "precision", "highest"))
+                        matmul_precision=getattr(args, "precision", "highest"),
+                        int8=getattr(args, "int8", False))
     if args.phonemes:
         mel = synth.synth_phonemes(args.text, alpha=args.alpha)
         stats = {"frames": int(mel.shape[0])}
@@ -224,7 +225,8 @@ def cmd_serve(args):
         mesh = make_mesh(jax.device_count())
         logging.info("serving data-parallel over %d devices", jax.device_count())
     synth = Synthesizer(model, params, state,
-                        bf16=jax.default_backend() == "tpu", mesh=mesh)
+                        bf16=jax.default_backend() == "tpu", mesh=mesh,
+                        int8=getattr(args, "int8", False))
     vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
     if vocoder_path:
         # Fused tts: MelGAN runs inside the same device computation as the
@@ -315,6 +317,9 @@ def main(argv=None):
     sp.add_argument("--phonemes", action="store_true",
                     help="treat --text as a space-joined phoneme string")
     sp.add_argument("--alpha", type=float, default=1.0)
+    sp.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 serving: quantize encoder/decoder matmul "
+                         "weights to int8 (~2x bf16 MXU rate on v5e)")
     sp.add_argument("--precision", default="highest",
                     choices=("default", "highest"),
                     help="matmul precision for f32 inference; 'highest' keeps "
@@ -334,6 +339,8 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8000)
     sp.add_argument("--max_batch", type=int, default=16)
     sp.add_argument("--max_wait_ms", type=float, default=5.0)
+    sp.add_argument("--int8", action="store_true",
+                    help="W8A8 int8 serving for the acoustic model")
     sp.add_argument("--vocoder", default=None,
                     help="local MelGAN checkpoint for wav responses "
                          "(else Griffin-Lim)")

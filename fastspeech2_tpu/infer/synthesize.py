@@ -35,8 +35,17 @@ class Synthesizer:
     def __init__(self, model: FastSpeech2, params, state,
                  token_multiple: int = 32, frames_per_token: int = 12,
                  max_frames: int = 2048, bf16: bool = False, mesh=None,
-                 matmul_precision: str = "default"):
+                 matmul_precision: str = "default", int8: bool = False):
         self.model = model
+        if int8:
+            # W8A8 serving tier: encoder/decoder attention projections + FFN
+            # convs become int8 MXU matmuls (~2x bf16 rate on v5e); predictors,
+            # embeddings, postnet, feat_out stay high precision (ops/quant8.py)
+            from fastspeech2_tpu.ops.quant8 import quantize_model_params
+
+            params = jax.device_get(
+                jax.jit(quantize_model_params)(params))
+        self.int8 = int8
         self.params = params
         self.state = state
         self.token_multiple = token_multiple

@@ -84,7 +84,14 @@ def linear(p, x: Array, *, out_dtype=None) -> Array:
 
     out_dtype: result dtype; defaults to x.dtype. Chained matmul/relu stacks
     pass the compute dtype here so intermediates skip the f32 round-trip.
+
+    Params quantized by ops/quant8.py ({"q","s"[, "b"]} instead of {"w"[, "b"]})
+    dispatch to the int8 MXU path -- W8A8 serving runs ~2x bf16 on v5e.
     """
+    if "q" in p:
+        from fastspeech2_tpu.ops.quant8 import int8_linear
+
+        return int8_linear(p, x, out_dtype=out_dtype)
     from fastspeech2_tpu.ops.precision import current_compute_dtype
 
     dt = current_compute_dtype()
@@ -100,9 +107,13 @@ def conv1d(p, x: Array, *, padding: str = "SAME", out_dtype=None) -> Array:
     """1-D convolution over NLC activations with (k, in, out) weights.
 
     'SAME' matches torch Conv1d with padding=(k-1)//2 for odd k (the only case
-    the reference uses: k in {1,3,5,9}). Precision/out_dtype semantics as in
-    :func:`linear`.
+    the reference uses: k in {1,3,5,9}). Precision/out_dtype and int8-dispatch
+    semantics as in :func:`linear`.
     """
+    if "q" in p:
+        from fastspeech2_tpu.ops.quant8 import int8_conv1d
+
+        return int8_conv1d(p, x, padding=padding, out_dtype=out_dtype)
     from fastspeech2_tpu.ops.precision import current_compute_dtype
 
     dt = current_compute_dtype()

@@ -1,0 +1,118 @@
+"""int8 W8A8 serving quantization (ops/quant8.py).
+
+The reference has no quantized path; this tier is a TPU-native extra, so the
+tests check internal consistency: quantized ops approximate their f32
+counterparts within int8 resolution, the im2col conv is bit-identical to a
+true int8 convolution, pytree dispatch engages through ops.nn, and the
+end-to-end Synthesizer(int8=True) path stays close to f32 synthesis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from conftest import small_cfg
+
+from fastspeech2_tpu.ops import nn
+from fastspeech2_tpu.ops import quant8
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(7)
+
+
+def test_quantize_weight_roundtrip(key):
+    w = jax.random.normal(key, (64, 32)) * jnp.linspace(0.1, 3.0, 32)
+    q, s = quant8.quantize_weight(w, reduce_axes=(0,))
+    assert q.dtype == jnp.int8 and s.shape == (32,)
+    deq = q.astype(jnp.float32) * s
+    # max error is half an int8 step per output channel
+    err = np.abs(np.asarray(deq - w))
+    step = np.asarray(s)
+    assert (err <= 0.5 * step + 1e-7).all()
+
+
+def test_int8_linear_close_to_f32(key):
+    kw, kx = jax.random.split(key)
+    p = nn.init_linear(kw, 48, 64)
+    x = jax.random.normal(kx, (4, 10, 48))
+    ref = nn.linear(p, x)
+    qp = quant8.quantize_linear_params(p)
+    out = nn.linear(qp, x)  # dispatches via "q" key
+    # int8 resolution: a few percent relative error on random-init matmuls
+    rel = np.abs(np.asarray(out - ref)) / (np.abs(np.asarray(ref)) + 1e-2)
+    assert rel.mean() < 0.03
+
+
+def test_int8_conv1d_matches_true_int8_conv(key):
+    """The im2col formulation must be BIT-identical to lax.conv on the same
+    int8 operands (symmetric quantization makes zero-padding exact)."""
+    from jax import lax
+
+    kw, kx = jax.random.split(key)
+    p = nn.init_conv1d(kw, 16, 24, 9)
+    qp = quant8.quantize_conv1d_params(p)
+    x = jax.random.normal(kx, (2, 33, 16))
+    xq, sx = quant8.dynamic_quantize(x)
+    ref_i32 = lax.conv_general_dilated(
+        xq.astype(jnp.int32), qp["q"].astype(jnp.int32), (1,), "SAME",
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    ref = ref_i32.astype(jnp.float32) * (sx * qp["s"]) + qp["b"]
+    out = quant8.int8_conv1d(qp, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_conv1d_close_to_f32(key):
+    kw, kx = jax.random.split(key)
+    for k in (1, 9):
+        p = nn.init_conv1d(kw, 16, 24, k)
+        x = jax.random.normal(kx, (2, 33, 16))
+        ref = nn.conv1d(p, x)
+        out = nn.conv1d(quant8.quantize_conv1d_params(p), x)
+        rel = np.abs(np.asarray(out - ref)) / (np.abs(np.asarray(ref)) + 1e-2)
+        assert rel.mean() < 0.03
+
+
+def test_quantize_model_params_scope(key):
+    """Only encoder/decoder attention + FFN weights quantize; input layers,
+    norms, alpha, and every other subtree pass through untouched."""
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+
+    model = FastSpeech2(small_cfg())
+    params, _ = model.init(key)
+    qparams = quant8.quantize_model_params(params)
+    for name in ("encoder", "decoder"):
+        for layer in qparams[name]["layers"]:
+            for proj in ("q", "k", "v", "out"):
+                assert quant8.is_quantized(layer["attn"][proj])
+            for w in layer["ffn"].values():
+                assert quant8.is_quantized(w)
+            assert "g" in layer["norm1"] and "q" not in layer["norm1"]
+    assert qparams["encoder"]["embed"] is params["encoder"]["embed"]
+    for untouched in ("feat_out", "postnet", "duration_predictor",
+                      "pitch_predictor", "energy_predictor"):
+        assert qparams[untouched] is params[untouched]
+
+
+def test_synthesizer_int8_end_to_end(key):
+    """Synthesizer(int8=True) runs under jit and lands near the f32 mel."""
+    from fastspeech2_tpu.infer.synthesize import Synthesizer
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+
+    model = FastSpeech2(small_cfg())
+    params, state = model.init(key)
+    # realistic durations so the output has frames (bench.py trick)
+    params["duration_predictor"]["out"]["b"] = (
+        params["duration_predictor"]["out"]["b"] * 0 + 1.2)
+    phon = "HH AH L OW W ER L D"
+    mel_f32 = Synthesizer(model, params, state).synth_phonemes(phon)
+    mel_i8 = Synthesizer(model, params, state, int8=True).synth_phonemes(phon)
+    assert mel_i8.shape[1] == mel_f32.shape[1]
+    # durations can shift a frame under quantization; compare overlap
+    L = min(mel_i8.shape[0], mel_f32.shape[0])
+    assert L > 0 and abs(mel_i8.shape[0] - mel_f32.shape[0]) <= max(
+        2, int(0.1 * mel_f32.shape[0]))
+    mae = float(np.mean(np.abs(mel_i8[:L] - mel_f32[:L])))
+    spread = float(mel_f32.std())
+    assert mae < 0.15 * spread, (mae, spread)
