@@ -273,7 +273,8 @@ def cmd_export(args):
     export_inference(args.checkpoint_path, args.out, config_path=args.config,
                      batch=args.batch, max_tokens=args.max_tokens,
                      max_frames=args.max_frames, bf16=args.bf16,
-                     matmul_precision=args.precision)
+                     matmul_precision=args.precision,
+                     int8=getattr(args, "int8", False))
 
 
 def main(argv=None):
@@ -365,6 +366,9 @@ def main(argv=None):
                     choices=("default", "highest"),
                     help="matmul precision baked into the artifact; "
                          "'highest' = full-f32 dots (TPU parity-grade)")
+    sp.add_argument("--int8", action="store_true",
+                    help="bake W8A8 int8 encoder/decoder matmuls into the "
+                         "artifact (serving speed tier)")
     sp.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)

@@ -23,14 +23,16 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
                      config_path: Optional[str] = None, batch: int = 1,
                      max_tokens: int = 192, max_frames: int = 1024,
                      bf16: bool = False,
-                     matmul_precision: str = "default") -> str:
+                     matmul_precision: str = "default",
+                     int8: bool = False) -> str:
     """Serialize the inference fn (params baked in) to ``out_path``.
 
     Returns the written path. Loads reference .pth checkpoints or our .npz;
     with no checkpoint, exports a random init (useful for shape contracts).
-    bf16/matmul_precision are baked into the artifact at trace time (same
+    bf16/matmul_precision/int8 are baked into the artifact at trace time (same
     semantics as infer.synthesize.Synthesizer: bf16 = MXU speed path,
-    matmul_precision="highest" = full-f32 dots for TPU parity-grade serving).
+    matmul_precision="highest" = full-f32 dots for TPU parity-grade serving,
+    int8 = W8A8 encoder/decoder matmuls via ops/quant8.py).
     """
     from jax import export as jax_export
 
@@ -61,6 +63,11 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
         params, state = model0.init(jax.random.PRNGKey(0))
 
     model = FastSpeech2(cfg)
+
+    if int8:
+        from fastspeech2_tpu.ops.quant8 import quantize_model_params
+
+        params = jax.jit(quantize_model_params)(params)
 
     import contextlib
 

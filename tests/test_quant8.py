@@ -95,6 +95,34 @@ def test_quantize_model_params_scope(key):
         assert qparams[untouched] is params[untouched]
 
 
+def test_export_int8_artifact(key, tmp_path):
+    """export_inference(int8=True) bakes the W8A8 path into the StableHLO
+    artifact; the reloaded artifact runs and lands near the f32 export."""
+    from fastspeech2_tpu.infer.export import export_inference, load_exported
+
+    cfgfile = tmp_path / "cfg.yaml"
+    cfgfile.write_text(small_cfg().to_yaml())
+    f32 = export_inference(None, str(tmp_path / "f32.stablehlo"),
+                           config_path=str(cfgfile), batch=1,
+                           max_tokens=16, max_frames=64)
+    i8 = export_inference(None, str(tmp_path / "i8.stablehlo"),
+                          config_path=str(cfgfile), batch=1,
+                          max_tokens=16, max_frames=64, int8=True)
+    xs = np.zeros((1, 16), np.int32)
+    xs[0, :5] = [1, 2, 3, 4, 5]
+    xs = jnp.asarray(xs)
+    ilens = jnp.asarray([5], jnp.int32)
+    mel_f32, len_f32 = load_exported(f32)(xs, ilens)
+    mel_i8, len_i8 = load_exported(i8)(xs, ilens)
+    assert mel_i8.shape == mel_f32.shape
+    # both exports start from the same PRNGKey(0) random init
+    L = min(int(len_f32[0]), int(len_i8[0]))
+    if L:
+        mae = float(np.mean(np.abs(np.asarray(mel_i8)[0, :L]
+                                   - np.asarray(mel_f32)[0, :L])))
+        assert mae < 0.15 * float(np.asarray(mel_f32).std())
+
+
 def test_synthesizer_int8_end_to_end(key):
     """Synthesizer(int8=True) runs under jit and lands near the f32 mel."""
     from fastspeech2_tpu.infer.synthesize import Synthesizer
