@@ -138,6 +138,10 @@ class TrainConfig:
     # TPU additions (no reference equivalent -- SURVEY.md 2.8):
     num_hosts: int = 1
     dp_size: int = 0  # 0 => use all visible devices
+    # Megatron-over-GSPMD tensor parallelism (parallel/sharding.py): shards
+    # FFT-block attention heads and FFN hidden channels over a 2nd mesh axis.
+    # 1 => pure data parallelism (the right choice at 25.6M params).
+    tensor_parallel: int = 1
     bf16: bool = False  # bf16 matmuls for speed configs; f32 for parity configs
     max_tokens: int = 192  # static phoneme-axis pad (longest LJSpeech ~180)
 

@@ -156,6 +156,19 @@ def train(cfg: Config, name: str, outdir: str,
     valid_ds = TTSDataset(data_dir, cfg.data.valid_filelist,
                           cfg.train.use_phonemes, cfg.data.tts_cleaner_names)
 
+    tp = max(1, cfg.train.tensor_parallel)
+    if tp > 1:
+        import dataclasses
+
+        from fastspeech2_tpu.parallel.sharding import check_tp_divisibility
+
+        check_tp_divisibility(cfg, tp)
+        if cfg.model.fused_attention != "off":
+            # the fused Pallas attention is a custom call GSPMD can't
+            # partition over 'model'; TP uses the XLA attention path
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, fused_attention="off"))
+
     model = FastSpeech2(cfg)
     params, mstate = model.init(jax.random.PRNGKey(cfg.train.seed))
     opt = make_optimizer(cfg)
@@ -183,14 +196,26 @@ def train(cfg: Config, name: str, outdir: str,
     # the data axis must divide both the accumulation-window batch and each
     # micro-batch; size the mesh accordingly (normally batch_size % n_dev == 0)
     n_dev = len(jax.devices())
-    dp = next(d for d in range(min(n_dev, cfg.train.batch_size), 0, -1)
+    dp = next(d for d in range(min(n_dev // tp, cfg.train.batch_size), 0, -1)
               if cfg.train.batch_size % d == 0)
-    if dp != n_dev:
-        log.warning("using %d of %d devices (batch_size %d not divisible)",
-                    dp, n_dev, cfg.train.batch_size)
-    mesh = make_mesh(dp)
-    step_fn = shard_train_step(
-        make_train_step(model, opt, accum, bf16=cfg.train.bf16), mesh)
+    if dp * tp != n_dev:
+        log.warning("using %d of %d devices (dp=%d x tp=%d; batch_size %d)",
+                    dp * tp, n_dev, dp, tp, cfg.train.batch_size)
+    if tp > 1:
+        from fastspeech2_tpu.parallel.sharding import (
+            make_mesh_2d, shard_pytree, shard_train_step_tp)
+
+        mesh = make_mesh_2d(dp, tp)
+        with mesh:
+            ts = TrainState(shard_pytree(ts.params, mesh),
+                            ts.model_state,
+                            shard_pytree(ts.opt_state, mesh), ts.step)
+        step_fn = shard_train_step_tp(
+            make_train_step(model, opt, accum, bf16=cfg.train.bf16), mesh, ts)
+    else:
+        mesh = make_mesh(dp)
+        step_fn = shard_train_step(
+            make_train_step(model, opt, accum, bf16=cfg.train.bf16), mesh)
     eval_fn = jax.jit(make_eval_step(model))
 
     batcher = BucketBatcher(
