@@ -142,6 +142,11 @@ class TrainConfig:
     # FFT-block attention heads and FFN hidden channels over a 2nd mesh axis.
     # 1 => pure data parallelism (the right choice at 25.6M params).
     tensor_parallel: int = 1
+    # Megatron-SP: with tensor_parallel > 1, also shard the FFT-block residual
+    # streams' time axis over the model axis between blocks (cuts per-chip
+    # activation memory in the LN/dropout/residual segments; numerics
+    # unchanged). Ignored when tensor_parallel == 1.
+    sequence_parallel: bool = False
     bf16: bool = False  # bf16 matmuls for speed configs; f32 for parity configs
     max_tokens: int = 192  # static phoneme-axis pad (longest LJSpeech ~180)
 

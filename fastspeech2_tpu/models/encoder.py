@@ -210,6 +210,11 @@ def encoder_apply(
         next(r)  # keep rng schedule aligned across input layer types
     x = _positional_encode(params, cfg, x, rng=next(r), deterministic=deterministic)
 
+    # Megatron-SP activation sharding at block boundaries (no-op unless a
+    # parallel.sharding.sequence_sharding context is active at trace time)
+    from fastspeech2_tpu.parallel.sharding import constrain_seq
+
+    x = constrain_seq(x)
     for layer in params["layers"]:
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
@@ -248,6 +253,7 @@ def encoder_apply(
                                   deterministic=deterministic)
         if not cfg.normalize_before:
             x = nn.layer_norm(layer["norm2"], x)
+        x = constrain_seq(x)
 
     if cfg.normalize_before:
         x = nn.layer_norm(params["after_norm"], x)

@@ -27,6 +27,8 @@ trees inside ``optax`` state without knowing their wrappers.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -37,6 +39,42 @@ from jax.tree_util import DictKey
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+# ---------------------------------------------------------------------------
+# sequence parallelism (Megatron-SP): between-block activation sharding
+# ---------------------------------------------------------------------------
+
+_SEQ = threading.local()
+
+
+@contextmanager
+def sequence_sharding(spec: Optional[P]):
+    """Trace-time context: FFT-block residual streams get
+    ``with_sharding_constraint(x, spec)`` at block boundaries
+    (models/encoder.py). The Megatron-SP spec is
+    ``P('data', 'model', None)`` -- the (B, T, D) stream's time axis shards
+    over the TP axis, so the LN/dropout/residual segments between the
+    attention/FFN matmuls hold 1/tp of the activations per chip; GSPMD
+    all-gathers T into the attention/conv blocks and reduce-scatters out of
+    them. Pure placement: numerics are unchanged (tests/test_parallel_tp.py).
+
+    Same trace-time-context pattern as ops/precision.compute_dtype.
+    """
+    prev = getattr(_SEQ, "spec", None)
+    _SEQ.spec = spec
+    try:
+        yield
+    finally:
+        _SEQ.spec = prev
+
+
+def constrain_seq(x):
+    """Apply the active sequence-sharding constraint (no-op outside the
+    sequence_sharding context)."""
+    spec = getattr(_SEQ, "spec", None)
+    if spec is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:

@@ -211,7 +211,9 @@ def train(cfg: Config, name: str, outdir: str,
                             ts.model_state,
                             shard_pytree(ts.opt_state, mesh), ts.step)
         step_fn = shard_train_step_tp(
-            make_train_step(model, opt, accum, bf16=cfg.train.bf16), mesh, ts)
+            make_train_step(model, opt, accum, bf16=cfg.train.bf16,
+                            sequence_parallel=cfg.train.sequence_parallel),
+            mesh, ts)
     else:
         mesh = make_mesh(dp)
         step_fn = shard_train_step(

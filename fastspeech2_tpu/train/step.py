@@ -32,7 +32,8 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
-                    accum_grad: int = 1, bf16: bool = False):
+                    accum_grad: int = 1, bf16: bool = False,
+                    sequence_parallel: bool = False):
     """Build the (unjitted) train step fn: (TrainState, Batch, rng) ->
     (TrainState, report-dict).
 
@@ -53,9 +54,17 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
     MXU roofline -- so the remaining time is real model FLOPs.
     """
     from fastspeech2_tpu.ops.precision import compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (
+        DATA_AXIS, MODEL_AXIS, sequence_sharding)
+
+    # Megatron-SP: shard the (B, T, D) residual streams' time axis over the
+    # TP axis between blocks (parallel/sharding.py:sequence_sharding). Only
+    # meaningful under a 2-D mesh (shard_train_step_tp).
+    seq_spec = P(DATA_AXIS, MODEL_AXIS, None) if sequence_parallel else None
 
     def loss_fn(params, model_state, micro: Batch, rng):
-        with compute_dtype(jnp.bfloat16 if bf16 else None):
+        with compute_dtype(jnp.bfloat16 if bf16 else None), \
+                sequence_sharding(seq_spec):
             loss, report, new_state = model.forward(
                 params, model_state, micro, rng=rng, training=True)
         return loss / accum_grad, (report, new_state)

@@ -101,6 +101,34 @@ def test_tp_train_step_matches_single_device(setup):
     assert np.isfinite(float(report_b2["loss"]))
 
 
+def test_tp_sp_train_step_matches_single_device(setup):
+    """Megatron-SP activation sharding is pure placement: dp=2 x tp=2 with
+    sequence_parallel=True matches the unsharded step."""
+    cfg, model, opt, ts = setup
+    batch = tiny_batch(B=8, seed=7)
+    rng = jax.random.PRNGKey(11)
+
+    plain = jax.jit(make_train_step(model, opt, accum_grad=1))
+    ts_a, report_a = plain(TrainState(*jax.tree.map(jnp.copy, tuple(ts))),
+                           batch, rng)
+
+    mesh = make_mesh_2d(2, 2)
+    ts_b = TrainState(*jax.tree.map(jnp.copy, tuple(ts)))
+    step = shard_train_step_tp(
+        make_train_step(model, opt, accum_grad=1, sequence_parallel=True),
+        mesh, ts_b)
+    with mesh:
+        ts_b = TrainState(shard_pytree(ts_b.params, mesh),
+                          ts_b.model_state, ts_b.opt_state, ts_b.step)
+        ts_b, report_b = step(ts_b, batch, rng)
+
+    np.testing.assert_allclose(float(report_a["loss"]),
+                               float(report_b["loss"]), rtol=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts_a.params, ts_b.params)
+    assert max(jax.tree.leaves(diffs)) < 5e-4
+
+
 def test_tp_inference_matches_single_device(setup):
     cfg, model, _, ts = setup
     B, T, L = 8, 8, 24

@@ -127,6 +127,72 @@ def test_training_forward_parity(ref_model_and_cfg, ours):
             err_msg=f"loss component {k} diverges from reference")
 
 
+VARIANTS = {
+    "pre_ln": dict(encoder_normalize_before=True, decoder_normalize_before=True),
+    "concat_after": dict(encoder_concat_after=True, decoder_concat_after=True),
+    "linear_ffn": dict(positionwise_layer_type="linear"),
+    "plain_pe": dict(use_scaled_pos_enc=False),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_config_variant_parity(variant):
+    """The reference's non-default architecture options (pre-LN, concat_after
+    projection, linear FFN, unscaled PE -- core/encoder.py:118-157,
+    core/embedding.py:68-120) stay oracle-parity too."""
+    import dataclasses
+
+    for mod in ("librosa", "g2p_en", "pyworld"):
+        sys.modules.setdefault(mod, types.ModuleType(mod))
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from fastspeech import FeedForwardTransformer
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, elayers=1, dlayers=1,
+                                       **VARIANTS[variant]))
+    torch.manual_seed(7)
+    ref_model = FeedForwardTransformer(68, 80, _ns(cfg.to_dict()))
+    ref_model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params, state = params_from_state_dict(sd, cfg)
+    model = FastSpeech2(cfg)
+
+    xs, ilens, ys, olens, ds, es, ps = _rand_batch(seed=13)
+    with torch.no_grad():
+        _, report_t = ref_model.forward(
+            torch.from_numpy(xs), torch.from_numpy(ilens).long(),
+            torch.from_numpy(ys), torch.from_numpy(olens).long(),
+            torch.from_numpy(ds), torch.from_numpy(es), torch.from_numpy(ps))
+    report_t = {k: v for d in report_t for k, v in d.items()}
+    batch = Batch(
+        xs=jnp.asarray(xs, jnp.int32), ilens=jnp.asarray(ilens),
+        ys=jnp.asarray(ys), olens=jnp.asarray(olens),
+        ds=jnp.asarray(ds, jnp.int32), es=jnp.asarray(es), ps=jnp.asarray(ps))
+    _, report_j, _ = model.forward(jax.tree.map(jnp.asarray, params),
+                                   jax.tree.map(jnp.asarray, state),
+                                   batch, training=False)
+    for k in ("l1_loss", "duration_loss", "energy_loss", "pitch_loss", "loss"):
+        np.testing.assert_allclose(
+            float(report_j[k]), float(report_t[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"{variant}: loss component {k} diverges")
+
+    # free-running inference parity for the variant
+    x = np.random.default_rng(5).integers(1, 68, 9).astype(np.int64)
+    with torch.no_grad():
+        mel_t = ref_model.inference(torch.from_numpy(x)).numpy()
+    L = mel_t.shape[0]
+    mel_j, out_lens, _ = jax.jit(
+        lambda p, s, xx, il: model.inference(p, s, xx, il, out_maxlen=L)
+    )(jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state),
+      jnp.asarray(x[None, :], jnp.int32), jnp.asarray([9], jnp.int32))
+    assert int(out_lens[0]) == L, f"{variant}: predicted duration diverges"
+    np.testing.assert_allclose(np.asarray(mel_j)[0], mel_t, rtol=1e-4,
+                               atol=2e-4, err_msg=f"{variant}: mel diverges")
+
+
 @pytest.mark.parametrize("extra_pad", [0, 7])
 def test_inference_parity(ref_model_and_cfg, ours, extra_pad):
     """Free-running inference matches the reference bit-for-bit(ish), including
