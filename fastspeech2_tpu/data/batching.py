@@ -16,7 +16,7 @@ Replaces the reference's DataLoader + (unwired) BinnedLengthSampler
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 
@@ -103,36 +103,43 @@ class BucketBatcher:
         return n // self.num_hosts
 
     def epoch(self, epoch: int) -> Iterator[Tuple[Batch, Tuple[int, int]]]:
-        """Yield (batch, (t_pad, l_pad)) for this host's share of the epoch."""
-        lengths = self.dataset.lengths()
-        order = self._order(epoch, lengths)
+        """Yield (batch, (t_pad, l_pad)) for this host's share of the epoch.
+
+        Multi-host alignment: every host computes the same permutation,
+        overlong utterances are dropped from the GLOBAL order (so all hosts
+        yield identical step counts -- no host can hit an empty batch and
+        skip), and each step's pad shape is the max over the whole
+        ``num_hosts``-batch stride group (so all hosts jit and run the same
+        (t_pad, l_pad) program with aligned psum collectives, SURVEY.md 7).
+        Lengths come from cached token counts / npy headers -- no feature IO.
+        """
+        tok_lens = np.asarray(self.dataset.token_lengths())
+        frame_lens = np.asarray(self.dataset.frame_lengths())
+        order = self._order(epoch, tok_lens)
+        order = order[frame_lens[order] <= self.max_frames]
         g = np.random.default_rng((self.seed, epoch, 1))
         starts = np.arange(0, len(order) - self.batch_size + 1, self.batch_size)
         g.shuffle(starts)
         # all hosts compute the same permutation; each takes its stride
         n_usable = (len(starts) // self.num_hosts) * self.num_hosts
-        my_starts = starts[:n_usable][self.host_id :: self.num_hosts]
-        for s in my_starts:
+        groups = starts[:n_usable].reshape(-1, self.num_hosts)
+        for grp in groups:
+            s = int(grp[self.host_id])
             utts = [self.dataset[int(i)] for i in order[s : s + self.batch_size]]
-            utts = [u for u in utts if u.mel.shape[0] <= self.max_frames]
-            if not utts:
-                continue
-            base = len(utts)  # backfill dropped overlong utts round-robin
-            while len(utts) < self.batch_size:
-                utts.append(utts[(len(utts) - base) % base])
-            yield self._padded(utts)
+            gidx = np.concatenate(
+                [order[int(x) : int(x) + self.batch_size] for x in grp])
+            t_pad = _round_up(int(tok_lens[gidx].max()), self.token_multiple)
+            l_pad = _round_up(int(frame_lens[gidx].max()), self.frame_multiple)
+            yield pad_batch(utts, t_pad, l_pad), (t_pad, l_pad)
         if not self.drop_remainder and self.num_hosts == 1:
             # tail utterances beyond the last full batch: yield them as one
             # smaller batch (exact -- no duplicate-weighting; costs at most
             # one extra compiled shape, e.g. the validation loop)
-            tail = [self.dataset[int(i)]
-                    for i in order[len(starts) * self.batch_size:]]
-            tail = [u for u in tail if u.mel.shape[0] <= self.max_frames]
-            if tail:
-                yield self._padded(tail)
-
-    def _padded(self, utts: List[Utterance]) -> Tuple[Batch, Tuple[int, int]]:
-        t_pad = _round_up(max(len(u.tokens) for u in utts), self.token_multiple)
-        l_pad = _round_up(max(u.mel.shape[0] for u in utts), self.frame_multiple)
-        l_pad = min(l_pad, _round_up(self.max_frames, self.frame_multiple))
-        return pad_batch(utts, t_pad, l_pad), (t_pad, l_pad)
+            tail_idx = order[len(starts) * self.batch_size:]
+            if len(tail_idx):
+                utts = [self.dataset[int(i)] for i in tail_idx]
+                t_pad = _round_up(int(tok_lens[tail_idx].max()),
+                                  self.token_multiple)
+                l_pad = _round_up(int(frame_lens[tail_idx].max()),
+                                  self.frame_multiple)
+                yield pad_batch(utts, t_pad, l_pad), (t_pad, l_pad)

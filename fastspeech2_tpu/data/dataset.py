@@ -107,6 +107,32 @@ class TTSDataset:
         """Token counts per utterance (cheap; for bucketing without IO)."""
         return np.asarray([len(e.phonemes) for e in self.entries])
 
+    def token_lengths(self) -> np.ndarray:
+        """EXACT token counts per utterance (cached; tokenization only, no
+        feature IO). Unlike :meth:`lengths` this is correct for the grapheme
+        path too, where cleaners change the symbol count."""
+        if not hasattr(self, "_token_lengths"):
+            if self.use_phonemes:
+                tl = [len(phonemes_to_sequence(e.phonemes))
+                      for e in self.entries]
+            else:
+                tl = [len(text_to_sequence(e.phonemes, self.cleaner_names,
+                                           self.eos))
+                      for e in self.entries]
+            self._token_lengths = np.asarray(tl)
+        return self._token_lengths
+
+    def frame_lengths(self) -> np.ndarray:
+        """Mel frame counts per utterance (cached). Reads only the npy
+        headers (mmap), not the feature data."""
+        if not hasattr(self, "_frame_lengths"):
+            self._frame_lengths = np.asarray([
+                np.load(os.path.join(self.data_dir, "mels",
+                                     f"{e.utt_id}.npy"),
+                        mmap_mode="r").shape[1]
+                for e in self.entries])
+        return self._frame_lengths
+
 
 def write_fake_feature_store(
     root: str, n_utts: int = 8, n_mels: int = 80, seed: int = 0,

@@ -34,9 +34,40 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host-local batch with its leading axis sharded over 'data'."""
+    """Place a host-local batch with its leading axis sharded over 'data'.
+
+    Multi-process: each host contributes its local batch as one slab of the
+    global array (global batch = per-host batch x process_count, concatenated
+    in process order) -- the TPU-native equivalent of the reference's single
+    DataLoader feeding a single device. Single-process: plain device_put.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def gather_to_host(tree, mesh: Mesh):
+    """Host-local numpy copies of a (possibly sharded) global pytree.
+
+    A collective: EVERY process must call it (it jits an identity with
+    replicated output sharding, which makes XLA all-gather sharded leaves
+    cross-host). Use before host-side work on globally-sharded state --
+    checkpointing, validation on a local jit, plotting. Single-process:
+    plain device_get.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree.map(lambda _: repl, tree)
+    gathered = jax.jit(lambda t: t, out_shardings=shardings)(tree)
+    return jax.tree.map(np.asarray, gathered)
 
 
 def shard_inference_fn(infer_fn, mesh: Mesh):

@@ -253,7 +253,15 @@ def train(cfg: Config, name: str, outdir: str,
                     profiling.update(active=True, stop_at=step + profile_steps)
                     profile_dir = None  # once
                 rng, sub = jax.random.split(rng)
-                batch = jax.tree.map(jnp.asarray, batch)
+                if num_hosts > 1:
+                    # each host's local batch becomes one slab of the global
+                    # array (parallel/mesh.py:shard_batch); host-local arrays
+                    # can't feed a globally-sharded jit directly
+                    from fastspeech2_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, mesh)
+                else:
+                    batch = jax.tree.map(jnp.asarray, batch)
                 ts, report = step_fn(ts, batch, sub)
                 # host-side counter: reading ts.step would block on the device
                 # every iteration and serialize host work behind device compute
@@ -277,37 +285,61 @@ def train(cfg: Config, name: str, outdir: str,
                         stream(f"{progbar(step, total)} loss {scalars['loss']:.3f} ")
                     log.info("step %d loss %.4f", step, scalars["loss"])
 
-                if step % cfg.train.validation_step == 0:
+                do_valid = step % cfg.train.validation_step == 0
+                do_save = step % cfg.train.save_interval == 0
+                if (do_valid or do_save) and num_hosts > 1:
+                    # validation/eval/checkpoint run on host-local jits;
+                    # gather_to_host is a collective -- EVERY host calls it,
+                    # host 0 alone uses the result
+                    from fastspeech2_tpu.parallel.mesh import gather_to_host
+
+                    ts_local = TrainState(*gather_to_host(tuple(ts), mesh))
+                    ts_local = TrainState(
+                        jax.tree.map(jnp.asarray, ts_local.params),
+                        jax.tree.map(jnp.asarray, ts_local.model_state),
+                        jax.tree.map(jnp.asarray, ts_local.opt_state),
+                        jnp.asarray(ts_local.step))
+                else:
+                    ts_local = ts
+
+                if do_valid and is_host0:
                     vloss = []
                     for vb, _ in BucketBatcher(
                             valid_ds, batch_size=min(len(valid_ds), 2),
                             seed=0, drop_remainder=False).epoch(0):
-                        vr = eval_fn(ts, jax.tree.map(jnp.asarray, vb))
+                        vr = eval_fn(ts_local, jax.tree.map(jnp.asarray, vb))
                         vloss.append(float(vr["loss"]))
-                    if is_host0 and vloss:
+                    if vloss:
                         metrics.scalars(step, {"loss": float(np.mean(vloss))},
                                         prefix="validation")
                         try:
-                            _log_validation_sample(model, ts, valid_ds,
+                            _log_validation_sample(model, ts_local, valid_ds,
                                                    metrics, step, cfg,
                                                    audio_steps=30,
                                                    vocoder=vocoder)
                         except Exception as e:  # images are best-effort
                             log.warning("validation sample logging failed: %s", e)
 
-                if is_host0 and step % cfg.train.save_interval == 0:
+                if do_save and is_host0:
                     path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
-                    save_checkpoint(path, ts.params, ts.model_state,
-                                    ts.opt_state, step, cfg)
-                    ev = evaluate_predictors(model, ts, valid_ds)
+                    save_checkpoint(path, ts_local.params, ts_local.model_state,
+                                    ts_local.opt_state, step, cfg)
+                    ev = evaluate_predictors(model, ts_local, valid_ds)
                     metrics.scalars(step, ev, prefix="evaluation")
                     log.info("saved %s", path)
 
                 if max_steps is not None and step - step0 >= max_steps:
+                    if num_hosts > 1:
+                        from fastspeech2_tpu.parallel.mesh import gather_to_host
+
+                        final = TrainState(*gather_to_host(tuple(ts), mesh))
+                    else:
+                        final = ts
                     if is_host0:
                         save_checkpoint(
                             os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz"),
-                            ts.params, ts.model_state, ts.opt_state, step, cfg)
+                            final.params, final.model_state, final.opt_state,
+                            step, cfg)
                     return ts
             log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
             if epoch + 1 >= cfg.train.epochs:

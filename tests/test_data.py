@@ -171,16 +171,37 @@ def test_batcher_remainder(fake_store):
     assert rows_all == n
 
 
-def test_batcher_backfill_round_robin(fake_store):
-    """Overlong-utterance slots backfill by cycling the survivors, not by
-    repeating the first one (which would triple-weight it in the gradient)."""
+def test_batcher_overlong_filtered_globally(fake_store):
+    """Overlong utterances are dropped from the GLOBAL order before batching:
+    every yielded batch is full, contains no overlong or duplicated rows, and
+    all hosts therefore agree on the step count (no per-host skip desync)."""
     root, filelist = fake_store
     ds = TTSDataset(root, filelist)
     lengths = [ds[i].mel.shape[0] for i in range(len(ds))]
     cap = sorted(lengths)[len(lengths) // 2]  # drop roughly half
-    for b, _ in BucketBatcher(ds, batch_size=4, max_frames=cap).epoch(0):
-        # count each surviving row's multiplicity: round-robin means counts
-        # differ by at most one
+    n_ok = sum(1 for l in lengths if l <= cap)
+    rows = 0
+    for b, _ in BucketBatcher(ds, batch_size=2, max_frames=cap).epoch(0):
+        assert b.xs.shape[0] == 2
+        assert np.all(b.olens <= cap)
         keys = [b.xs[i].tobytes() for i in range(b.xs.shape[0])]
-        counts = sorted({k: keys.count(k) for k in set(keys)}.values())
-        assert counts[-1] - counts[0] <= 1, counts
+        assert len(set(keys)) == len(keys), "no duplicated rows"
+        rows += b.xs.shape[0]
+    assert rows == (n_ok // 2) * 2
+
+
+def test_batcher_group_aligned_shapes(fake_store):
+    """Multi-host: at every step, all hosts pad to the SAME (t_pad, l_pad)
+    (group max), keeping cross-host collectives shape-aligned."""
+    root, filelist = fake_store
+    ds = TTSDataset(root, filelist)
+    mk = lambda host: BucketBatcher(  # noqa: E731
+        ds, batch_size=2, host_id=host, num_hosts=2, seed=5,
+        token_multiple=8, frame_multiple=32)
+    shapes0 = [shape for _, shape in mk(0).epoch(0)]
+    shapes1 = [shape for _, shape in mk(1).epoch(0)]
+    assert shapes0 == shapes1
+    # and the pads actually cover both hosts' data
+    for (b0, s0), (b1, s1) in zip(mk(0).epoch(0), mk(1).epoch(0)):
+        assert max(b0.ilens.max(), b1.ilens.max()) <= s0[0]
+        assert max(b0.olens.max(), b1.olens.max()) <= s0[1]

@@ -1,0 +1,191 @@
+"""REAL multi-process (multi-host) training-step test.
+
+Spawns two separate Python processes that form a 2-process JAX cluster over a
+local coordinator (``jax.distributed.initialize``), each contributing 2
+virtual CPU devices and its own half of the global batch
+(``parallel/mesh.py:shard_batch``'s process-local path). The cross-process
+psum gradient all-reduce must reproduce the single-process step exactly.
+
+This exercises what the single-process virtual-mesh tests cannot: the
+coordinator handshake, process-local -> global array assembly, cross-host
+collectives, and ``gather_to_host`` for checkpoint-grade host copies.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from test_train import tiny_batch, tiny_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("PYTHONWARNINGS", None)
+import jax
+import jax.numpy as jnp
+import numpy as np
+from fastspeech2_tpu.parallel.mesh import (
+    gather_to_host, initialize_multihost, shard_batch)
+initialize_multihost(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+from test_train import tiny_batch, tiny_config
+from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+from fastspeech2_tpu.train.optimizer import make_optimizer
+from fastspeech2_tpu.train.step import (
+    TrainState, make_mesh, make_train_step, shard_train_step)
+
+cfg = tiny_config()
+model = FastSpeech2(cfg)
+params, state = model.init(jax.random.PRNGKey(0))
+opt = make_optimizer(cfg)
+ts = TrainState(params, state, opt.init(params), jnp.asarray(0, jnp.int32))
+
+mesh = make_mesh()  # 4 global devices, 1-D 'data'
+step = shard_train_step(make_train_step(model, opt, accum_grad=1), mesh)
+losses = []
+with mesh:
+    for seed in (5, 6):
+        full = tiny_batch(B=8, seed=seed)
+        local = jax.tree.map(lambda x: np.asarray(x)[pid * 4:(pid + 1) * 4],
+                             full)
+        gbatch = shard_batch(local, mesh)
+        ts, report = step(ts, gbatch, jax.random.PRNGKey(9 + seed))
+        losses.append(float(report["loss"]))
+    host_params = gather_to_host(ts.params, mesh)
+
+psum = float(sum(np.abs(l).sum() for l in jax.tree.leaves(host_params)))
+json.dump({"losses": losses, "param_abs_sum": psum,
+           "grad_norm": float(report["grad_norm"])}, open(out, "w"))
+print(f"proc {pid} ok", flush=True)
+"""
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    # single-process reference on the identical global batches
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.train.optimizer import make_optimizer
+    from fastspeech2_tpu.train.step import TrainState, make_train_step
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg)
+    ts = TrainState(params, state, opt.init(params), jnp.asarray(0, jnp.int32))
+    plain = jax.jit(make_train_step(model, opt, accum_grad=1))
+    ref_losses = []
+    for seed in (5, 6):
+        ts, report = plain(ts, tiny_batch(B=8, seed=seed),
+                           jax.random.PRNGKey(9 + seed))
+        ref_losses.append(float(report["loss"]))
+    ref_psum = float(sum(np.abs(np.asarray(l)).sum()
+                         for l in jax.tree.leaves(ts.params)))
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:{REPO}/tests")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(pid), str(port),
+                          str(tmp_path / f"out{pid}.json")],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    results = [json.load(open(tmp_path / f"out{pid}.json")) for pid in (0, 1)]
+    # both processes agree with each other and with the single-process run
+    for r in results:
+        np.testing.assert_allclose(r["losses"], ref_losses, rtol=1e-5)
+        np.testing.assert_allclose(r["param_abs_sum"], ref_psum, rtol=1e-4)
+    assert results[0]["grad_norm"] == pytest.approx(results[1]["grad_norm"])
+
+
+LOOP_WORKER = r"""
+import json, os, sys
+pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+import numpy as np
+from fastspeech2_tpu.parallel.mesh import initialize_multihost
+initialize_multihost(f"localhost:{port}", num_processes=2, process_id=pid)
+
+from fastspeech2_tpu.config import Config, DataConfig
+from fastspeech2_tpu.data.dataset import write_fake_feature_store
+from fastspeech2_tpu.train.loop import train
+from test_train import tiny_config
+
+store = os.path.join(root, f"store{pid}")  # same seed => identical stores
+# 32 utts: each host strides to 16, enough for the 8-row accumulation window
+filelist = write_fake_feature_store(store, n_utts=32, seed=3)
+base = tiny_config()
+cfg = Config(model=base.model, train=base.train,
+             data=DataConfig(data_dir=store, train_filelist=filelist,
+                             valid_filelist=filelist))
+# batch_size=4, accum_grad=2 from tiny_config; validation + save at step 2/4
+import dataclasses
+cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+    cfg.train, validation_step=2, save_interval=4, summary_interval=2))
+ts = train(cfg, "mh", os.path.join(root, "out"), max_steps=4, data_dir=store)
+json.dump({"step": int(ts.step),
+           "finite": bool(all(np.all(np.isfinite(np.asarray(l)))
+                              for l in jax.tree.leaves(
+                                  jax.device_get(ts.params))))},
+          open(os.path.join(root, f"loop{pid}.json"), "w"))
+print(f"proc {pid} loop ok", flush=True)
+"""
+
+
+def test_two_process_train_loop(tmp_path):
+    """The REAL train() loop across a 2-process cluster: per-host disjoint
+    data striding, process-local batch globalization, collective
+    gather_to_host for validation + checkpointing on host 0."""
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    script = tmp_path / "loop_worker.py"
+    script.write_text(LOOP_WORKER)
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:{REPO}/tests")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(pid), str(port),
+                          str(tmp_path)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"loop worker failed:\n{o[-3000:]}"
+    for pid in (0, 1):
+        r = json.load(open(tmp_path / f"loop{pid}.json"))
+        assert r["step"] >= 4 and r["finite"]
+    # host 0 (and only host 0) wrote checkpoints and metrics
+    ckpts = os.listdir(tmp_path / "out" / "checkpoints" / "mh")
+    assert ckpts, "host 0 wrote no checkpoint"
+    assert os.path.exists(tmp_path / "out" / "logs" / "mh" /
+                          "train_metrics.jsonl")
