@@ -125,6 +125,93 @@ def fused_attention(q: Array, k: Array, v: Array, lengths: Array,
     )(lengths.astype(jnp.int32), q, k, v)
 
 
+def _attn_kernel_packed(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        block_q: int, n_heads: int):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    length = len_ref[b]
+    q = q_ref[0]  # (block_q, D) -- heads packed along the last axis
+    k = k_ref[0]  # (T, D)
+    v = v_ref[0]
+    T, D = k.shape
+    dk = D // n_heads
+
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
+    valid = (row < length) & (col < length)
+    neg = jnp.finfo(jnp.float32).min
+
+    # static python loop over heads: static lane-dim slices (Mosaic relayouts
+    # in VREGs, no HBM traffic), and K/V are fetched once per batch row
+    # instead of once per (batch, head)
+    for h in range(n_heads):
+        sl = slice(h * dk, (h + 1) * dk)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale  # (block_q, T)
+
+        s = jnp.where(valid, scores, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m) * valid.astype(jnp.float32)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "interpret", "block_q"))
+def fused_attention_packed(q: Array, k: Array, v: Array, lengths: Array,
+                           n_heads: int, *, interpret: bool = False,
+                           block_q: int | None = None) -> Array:
+    """Head-packed fused attention: (B, T, D) Q/K/V with heads as contiguous
+    D-slices (head h = columns [h*dk, (h+1)*dk)) -> (B, T, D) output.
+
+    Same math as :func:`fused_attention`, but the QKV projection outputs feed
+    the kernel in their natural row-major (B, T, D) layout and heads are
+    sliced inside the kernel -- no (B,T,H,dk)<->(B,H,T,dk) transposes, which
+    on TPU lower to layout-copy ops costing ~10% of the whole serving step at
+    the bench shape (dk=192 is not 128-divisible, so the head axis cannot be
+    a BlockSpec dimension either).
+    """
+    B, T, D = q.shape
+    assert D % n_heads == 0, (D, n_heads)
+    dk = D // n_heads
+    scale = 1.0 / float(np.sqrt(dk))
+    bq = block_q if block_q is not None else _pick_block_q(T)
+    assert T % bq == 0, (T, bq)
+    qspec = pl.BlockSpec((1, bq, D), lambda b, i, lens: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, T, D), lambda b, i, lens: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // bq),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+    )
+    kernel = functools.partial(_attn_kernel_packed, scale=scale, block_q=bq,
+                               n_heads=n_heads)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_heads * (T * T * dk * 2),
+            bytes_accessed=4 * B * T * D * 4,
+            transcendentals=B * n_heads * T * T,
+        ),
+    )(lengths.astype(jnp.int32), q, k, v)
+
+
 def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
                     *, interpret: bool = False) -> Array:
     """Full MHA (QKV projections + fused kernel + output projection) for the
@@ -137,15 +224,12 @@ def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
     from fastspeech2_tpu.ops import nn
     from fastspeech2_tpu.ops.precision import current_compute_dtype
 
-    B, T, D = x.shape
-    dk = D // n_heads
     dt = current_compute_dtype() or x.dtype
 
     def proj(p):
-        return nn.linear(p, x, out_dtype=dt).reshape(
-            B, T, n_heads, dk).transpose(0, 2, 1, 3)
+        return nn.linear(p, x, out_dtype=dt)
 
-    o = fused_attention(proj(params["q"]), proj(params["k"]), proj(params["v"]),
-                        lengths, interpret=interpret)
-    o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
+    o = fused_attention_packed(proj(params["q"]), proj(params["k"]),
+                               proj(params["v"]), lengths, n_heads,
+                               interpret=interpret)
     return nn.linear(params["out"], o, out_dtype=x.dtype)

@@ -56,6 +56,33 @@ def test_fused_attention_query_blocked(rng):
     assert np.all(np.asarray(blocked)[1, :, 21:] == 0.0)
 
 
+def test_fused_attention_packed_matches_split(rng):
+    """The head-packed (B,T,D) kernel == the (B,H,T,dk) kernel, including a
+    non-128-divisible head dim (dk=24 here, dk=192 in the default decoder)
+    and lengths that cut inside a query block."""
+    from fastspeech2_tpu.ops.pallas.attention import fused_attention_packed
+
+    B, H, T, dk = 3, 2, 32, 24
+    D = H * dk
+    q = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 21, 1], jnp.int32)
+
+    def split(x):
+        return x.reshape(B, T, H, dk).transpose(0, 2, 1, 3)
+
+    expect = fused_attention(split(q), split(k), split(v), lengths,
+                             interpret=True)
+    expect = expect.transpose(0, 2, 1, 3).reshape(B, T, D)
+    for bq in (32, 8):
+        out = fused_attention_packed(q, k, v, lengths, H, interpret=True,
+                                     block_q=bq)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   rtol=1e-6, atol=1e-6)
+    assert np.all(np.asarray(out)[1, 21:] == 0.0)
+
+
 def test_mha_fused_matches_mha_apply(rng):
     B, T, D, H = 2, 12, 32, 2
     params = init_mha(jax.random.PRNGKey(0), D)
