@@ -184,9 +184,12 @@ def encoder_apply(
     # ops/pallas/attention.py), whose multi-pass scratch overflows VMEM at
     # T=896 -- and the f32 XLA path is full-precision and equally fast
     d_k = cfg.attention_dim // cfg.attention_heads
-    fusable = (fused_attention and lengths is not None and d_k >= 128
-               and current_compute_dtype() == jnp.bfloat16)
+    speed_path = (fused_attention and lengths is not None
+                  and current_compute_dtype() == jnp.bfloat16)
+    fusable = speed_path and d_k >= 128
     use_fused = fusable and deterministic
+    # the fused conv-FFN has no head-dim constraint
+    use_fused_ffn = speed_path and deterministic
     # training variant: custom-VJP kernel with in-kernel hash dropout; whole-T
     # per program, so only for T within its VMEM budget (attention_train.MAX_T)
     from fastspeech2_tpu.ops.pallas.attention_train import MAX_T
@@ -247,8 +250,18 @@ def encoder_apply(
 
         residual = x
         y = nn.layer_norm(layer["norm2"], x) if cfg.normalize_before else x
-        f = ffn_apply(layer["ffn"], cfg, y, rng=next(r), deterministic=deterministic,
-                      conv_mask=conv_mask)
+        if (use_fused_ffn and cfg.positionwise_layer_type == "conv1d"
+                and cfg.positionwise_conv_kernel_size % 2 == 1
+                and "q" not in layer["ffn"]["w1"]):
+            from fastspeech2_tpu.ops.pallas.ffn import ffn_fused_apply
+
+            # length-adaptive fused conv-FFN: skips time blocks past each
+            # sequence's true length (ops/pallas/ffn.py)
+            f = ffn_fused_apply(layer["ffn"], y, lengths)
+            next(r)
+        else:
+            f = ffn_apply(layer["ffn"], cfg, y, rng=next(r),
+                          deterministic=deterministic, conv_mask=conv_mask)
         x = residual + nn.dropout(next(r), f, cfg.dropout_rate,
                                   deterministic=deterministic)
         if not cfg.normalize_before:

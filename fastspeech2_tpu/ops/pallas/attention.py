@@ -87,6 +87,16 @@ def _pick_block_q(T: int) -> int:
     return T
 
 
+def _pick_block_q_adaptive(T: int) -> int:
+    # for the length-adaptive packed kernel: blocks small enough that
+    # dead-block skipping tracks true lengths (~1/7 of the padded buffer),
+    # large enough for MXU shape; VMEM ceiling as in _pick_block_q
+    for bq in (256, 224, 192, 160, 128, 96, 64, 32, 16, 8):
+        if T % bq == 0 and bq * T * 4 <= 4 * 1024 * 1024:
+            return bq
+    return T
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_q"))
 def fused_attention(q: Array, k: Array, v: Array, lengths: Array,
                     *, interpret: bool = False,
@@ -139,31 +149,40 @@ def _attn_kernel_packed(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
-    row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
-    valid = (row < length) & (col < length)
-    neg = jnp.finfo(jnp.float32).min
+    @pl.when(qi * block_q >= length)
+    def _dead_block():
+        # every query row is past the true length: masked softmax re-zeroes
+        # them exactly (see _attn_kernel), so skip both matmuls
+        o_ref[0] = jnp.zeros((block_q, D), o_ref.dtype)
 
-    # static python loop over heads: static lane-dim slices (Mosaic relayouts
-    # in VREGs, no HBM traffic), and K/V are fetched once per batch row
-    # instead of once per (batch, head)
-    for h in range(n_heads):
-        sl = slice(h * dk, (h + 1) * dk)
-        scores = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale  # (block_q, T)
+    @pl.when(qi * block_q < length)
+    def _live_block():
+        row = (qi * block_q
+               + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0))
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
+        valid = (row < length) & (col < length)
+        neg = jnp.finfo(jnp.float32).min
 
-        s = jnp.where(valid, scores, neg)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m) * valid.astype(jnp.float32)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+        # static python loop over heads: static lane-dim slices (Mosaic
+        # relayouts in VREGs, no HBM traffic), and K/V are fetched once per
+        # batch row instead of once per (batch, head)
+        for h in range(n_heads):
+            sl = slice(h * dk, (h + 1) * dk)
+            scores = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * scale  # (block_q, T)
 
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ).astype(o_ref.dtype)
+            s = jnp.where(valid, scores, neg)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m) * valid.astype(jnp.float32)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+
+            o_ref[0, :, sl] = jax.lax.dot_general(
+                attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -185,7 +204,7 @@ def fused_attention_packed(q: Array, k: Array, v: Array, lengths: Array,
     assert D % n_heads == 0, (D, n_heads)
     dk = D // n_heads
     scale = 1.0 / float(np.sqrt(dk))
-    bq = block_q if block_q is not None else _pick_block_q(T)
+    bq = block_q if block_q is not None else _pick_block_q_adaptive(T)
     assert T % bq == 0, (T, bq)
     qspec = pl.BlockSpec((1, bq, D), lambda b, i, lens: (b, i, 0),
                          memory_space=pltpu.VMEM)

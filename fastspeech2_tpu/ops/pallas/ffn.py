@@ -1,0 +1,169 @@
+"""Fused, length-adaptive conv-FFN (FastSpeech position-wise module) as a
+Pallas TPU kernel.
+
+The reference FFN is Conv1d(k=9, D->H) -> ReLU -> Conv1d(k=1, H->D)
+(core/modules.py:204-248). XLA's implicit-GEMM conv already runs at the v5e
+bf16 MXU roofline (~195 TF/s), so a fused kernel cannot beat it on padded
+FLOPs -- but it CAN skip them: serving batches are padded to a static frame
+capacity and only ~half the rows are real (bench workload: 53% occupancy).
+This kernel blocks over time and, for any block entirely past a sequence's
+true length (all conv taps zero), emits the constant bias-only row directly
+-- one (1, H) x (H, D) matmul instead of (k+1) (block_t, ...) matmuls. FLOPs
+scale with true lengths, not the padded buffer.
+
+Within live blocks, the k=9 conv is k shifted (block_t, D) x (D, H) matmuls
+over a zero-padded whole-sequence VMEM scratch (no im2col materialization),
+then ReLU, then the k=1 conv as one matmul; the (T, H) hidden activation --
+the largest tensor in the model -- never round-trips HBM.
+
+Sequence lengths ride in as scalar prefetch: rows at or beyond a sequence's
+true length are zeroed when the scratch is filled, which reproduces
+ffn_apply's conv_mask semantics (zero conv inputs past the true length ==
+torch's implicit SAME zero padding on unpadded inputs), and the halo rows
+around t=0 / t=T are zero like SAME padding.
+
+Numerics replicate ops/nn.py:conv1d's bf16 compute-dtype path: MXU f32
+accumulation rounded to bf16 (the conv output), widened to f32 for the bias
+add, rounded back to bf16, ReLU in bf16. Used on the deterministic (serving)
+path under the bf16 speed config only -- the f32 parity path keeps the XLA
+convs (full-precision dots), and training keeps XLA for the FFN VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _ffn_kernel(len_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                xpad_ref, *, kernel: int, block_t: int, out_dtype):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    length = len_ref[b]
+    T, D = x_ref.shape[1], x_ref.shape[2]
+    H = w1_ref.shape[2]
+    pad = (kernel - 1) // 2
+    cd = x_ref.dtype  # compute dtype (bf16 on the speed path)
+    t0 = ti * block_t
+
+    @pl.when(ti == 0)
+    def _fill_scratch():
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
+        xpad_ref[pad:pad + T] = jnp.where(row < length, x_ref[0], 0)
+        if pad:
+            zeros = jnp.zeros((pad, D), xpad_ref.dtype)
+            xpad_ref[:pad] = zeros
+            xpad_ref[pad + T:] = zeros
+
+    def bias_pattern(v, bias):
+        # nn.conv1d bit-pattern: conv emits cd, widen to f32 for the bias
+        # add, round back to cd
+        return (v.astype(cd).astype(jnp.float32) + bias).astype(cd)
+
+    @pl.when(t0 < length + pad)
+    def _live_block():
+        # one aligned dynamic load of block+halo (t0 is 8-aligned; Mosaic
+        # rejects dynamic sublane starts like t0+j), then static value
+        # slices per tap -- in-register shifts
+        xw = xpad_ref[pl.ds(t0, block_t + 2 * pad)]
+        acc = jnp.zeros((block_t, H), jnp.float32)
+        for j in range(kernel):
+            # rows t0+j-pad .. t0+j-pad+block_t of x, zeros outside
+            acc += jax.lax.dot_general(
+                xw[j:j + block_t], w1_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        h = jax.nn.relu(bias_pattern(acc, b1_ref[0]))
+        y = jax.lax.dot_general(h, w2_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = (bias_pattern(y, b2_ref[0])).astype(out_dtype)
+
+    @pl.when(t0 >= length + pad)
+    def _dead_block():
+        # every conv tap is zero: the whole block is the constant bias row
+        h = jax.nn.relu(bias_pattern(jnp.zeros((1, H), jnp.float32),
+                                     b1_ref[0]))
+        y = jax.lax.dot_general(h, w2_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        row = bias_pattern(y, b2_ref[0]).astype(out_dtype)
+        o_ref[0] = jnp.broadcast_to(row, (block_t, w2_ref.shape[2]))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t",
+                                             "out_dtype"))
+def fused_ffn(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
+              lengths: Array, *, out_dtype=None, interpret: bool = False,
+              block_t: int | None = None) -> Array:
+    """(B, T, D) x + (k, D, H)/(H,) + (1, H, O)/(O,) conv-FFN -> (B, T, O).
+
+    Rows >= lengths[b] are zeroed on input (conv_mask semantics); output rows
+    there carry only the bias terms, exactly like the XLA path on a masked
+    input.
+    """
+    B, T, D = x.shape
+    k, _, H = w1.shape
+    O = w2.shape[2]
+    assert w2.shape[0] == 1 and w2.shape[1] == H, w2.shape
+    out_dtype = out_dtype or x.dtype
+    if block_t is None:
+        # small enough that dead-block skipping tracks true lengths,
+        # large enough that the k matmuls stay MXU-shaped
+        for bt in (128, 64, 32, 16, 8):
+            if T % bt == 0:
+                block_t = bt
+                break
+        else:
+            block_t = T
+    assert T % block_t == 0, (T, block_t)
+    pad = (k - 1) // 2
+
+    xspec = pl.BlockSpec((1, T, D), lambda b, i, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def wspec(s):
+        return pl.BlockSpec(s, lambda b, i, lens: (0,) * len(s),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // block_t),
+        in_specs=[xspec, wspec(w1.shape), wspec((1, H)), wspec(w2.shape),
+                  wspec((1, O))],
+        out_specs=pl.BlockSpec((1, block_t, O), lambda b, i, lens: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T + 2 * pad, D), x.dtype)],
+    )
+    kern = functools.partial(_ffn_kernel, kernel=k, block_t=block_t,
+                             out_dtype=out_dtype)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, O), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (k * D * H + H * O),
+            bytes_accessed=(B * T * (D + O) * 2
+                            + (k * D * H + H * O) * 2),
+            transcendentals=0,
+        ),
+    )(lengths.astype(jnp.int32), x, w1,
+      b1.reshape(1, H).astype(jnp.float32), w2,
+      b2.reshape(1, O).astype(jnp.float32))
+
+
+def ffn_fused_apply(p, x: Array, lengths: Array, *, out_dtype=None,
+                    interpret: bool = False) -> Array:
+    """Drop-in for models.encoder.ffn_apply (conv1d variant, deterministic
+    path) under a bf16 compute dtype: casts operands like ops/nn.py then runs
+    the fused kernel."""
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
+
+    dt = current_compute_dtype() or x.dtype
+    return fused_ffn(x.astype(dt), p["w1"]["w"].astype(dt), p["w1"]["b"],
+                     p["w2"]["w"].astype(dt), p["w2"]["b"], lengths,
+                     out_dtype=out_dtype or x.dtype, interpret=interpret)

@@ -99,6 +99,43 @@ def test_mha_fused_matches_mha_apply(rng):
                                np.asarray(out_xla)[1, :7], rtol=1e-5, atol=1e-5)
 
 
+def test_fused_ffn_matches_ffn_apply(rng):
+    """Length-adaptive fused conv-FFN == the XLA conv path on a conv-masked
+    input: boundary rows whose k=9 taps straddle the true length, bias-only
+    rows in fully-dead blocks, and the k=1 second conv."""
+    from fastspeech2_tpu.models.encoder import EncoderConfig, ffn_apply
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.ffn import ffn_fused_apply
+
+    B, T, D, H, k = 3, 32, 16, 24, 9
+    key = jax.random.PRNGKey(0)
+    p = {"w1": nn.init_conv1d(jax.random.fold_in(key, 1), D, H, k),
+         "w2": nn.init_conv1d(jax.random.fold_in(key, 2), H, D, 1)}
+    cfg = EncoderConfig(idim=68, attention_dim=D, attention_heads=2,
+                        linear_units=H, num_blocks=1,
+                        positionwise_conv_kernel_size=k)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    # 13: cuts inside a block with live halo rows after it; 32: no padding
+    lengths = jnp.asarray([32, 13, 1], jnp.int32)
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+
+    expect = ffn_apply(p, cfg, x, conv_mask=mask)
+    got = ffn_fused_apply(p, x, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    # small blocks: exercises the dead-block (bias-only) kernel branch
+    from fastspeech2_tpu.ops.pallas.ffn import fused_ffn
+    got8 = fused_ffn(x, p["w1"]["w"], p["w1"]["b"], p["w2"]["w"],
+                     p["w2"]["b"], lengths, interpret=True, block_t=8)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    # rows >= length+pad are the pure-bias constant, same as the XLA path
+    assert np.allclose(np.asarray(got)[1, 13 + 4:],
+                       np.asarray(expect)[1, 13 + 4:])
+
+
 def _xla_resstack(stacks, x, dilations):
     from fastspeech2_tpu.vocoder.melgan import _conv1d_reflect
     for d, stack in zip(dilations, stacks):
