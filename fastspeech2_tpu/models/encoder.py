@@ -248,24 +248,36 @@ def encoder_apply(
         if not cfg.normalize_before:
             x = nn.layer_norm(layer["norm1"], x)
 
-        residual = x
-        y = nn.layer_norm(layer["norm2"], x) if cfg.normalize_before else x
-        if (use_fused_ffn and cfg.positionwise_layer_type == "conv1d"
-                and cfg.positionwise_conv_kernel_size % 2 == 1
-                and "q" not in layer["ffn"]["w1"]):
-            from fastspeech2_tpu.ops.pallas.ffn import ffn_fused_apply
+        fuse_ffn = (use_fused_ffn and cfg.positionwise_layer_type == "conv1d"
+                    and cfg.positionwise_conv_kernel_size % 2 == 1
+                    and "q" not in layer["ffn"]["w1"])
+        if fuse_ffn and cfg.normalize_before:
+            from fastspeech2_tpu.ops.pallas.ffn import ffn_block_fused_apply
 
-            # length-adaptive fused conv-FFN: skips time blocks past each
-            # sequence's true length (ops/pallas/ffn.py)
-            f = ffn_fused_apply(layer["ffn"], y, lengths)
+            # length-adaptive fused [LN -> conv-FFN -> +residual] block tail:
+            # skips time blocks past each sequence's true length and keeps
+            # the LN/mask/casts/residual in VMEM (ops/pallas/ffn.py)
+            x = ffn_block_fused_apply(layer["norm2"], layer["ffn"], x,
+                                      lengths)
+            next(r)
             next(r)
         else:
-            f = ffn_apply(layer["ffn"], cfg, y, rng=next(r),
-                          deterministic=deterministic, conv_mask=conv_mask)
-        x = residual + nn.dropout(next(r), f, cfg.dropout_rate,
-                                  deterministic=deterministic)
-        if not cfg.normalize_before:
-            x = nn.layer_norm(layer["norm2"], x)
+            residual = x
+            y = nn.layer_norm(layer["norm2"], x) if cfg.normalize_before else x
+            if fuse_ffn:
+                from fastspeech2_tpu.ops.pallas.ffn import ffn_fused_apply
+
+                # length-adaptive fused conv-FFN (post-LN variant)
+                f = ffn_fused_apply(layer["ffn"], y, lengths)
+                next(r)
+            else:
+                f = ffn_apply(layer["ffn"], cfg, y, rng=next(r),
+                              deterministic=deterministic,
+                              conv_mask=conv_mask)
+            x = residual + nn.dropout(next(r), f, cfg.dropout_rate,
+                                      deterministic=deterministic)
+            if not cfg.normalize_before:
+                x = nn.layer_norm(layer["norm2"], x)
         x = constrain_seq(x)
 
     if cfg.normalize_before:

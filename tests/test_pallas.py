@@ -136,6 +136,32 @@ def test_fused_ffn_matches_ffn_apply(rng):
                        np.asarray(expect)[1, 13 + 4:])
 
 
+def test_fused_ffn_block_matches_xla_chain(rng):
+    """The fused [LN -> conv-FFN -> +residual] block tail == the XLA chain."""
+    from fastspeech2_tpu.models.encoder import EncoderConfig, ffn_apply
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.ffn import ffn_block_fused_apply
+
+    B, T, D, H, k = 3, 32, 16, 24, 9
+    key = jax.random.PRNGKey(0)
+    p = {"w1": nn.init_conv1d(jax.random.fold_in(key, 1), D, H, k),
+         "w2": nn.init_conv1d(jax.random.fold_in(key, 2), H, D, 1)}
+    ln = {"g": jnp.asarray(rng.normal(1.0, 0.1, (D,)), jnp.float32),
+          "b": jnp.asarray(rng.normal(0.0, 0.1, (D,)), jnp.float32)}
+    cfg = EncoderConfig(idim=68, attention_dim=D, attention_heads=2,
+                        linear_units=H, num_blocks=1,
+                        positionwise_conv_kernel_size=k)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 13, 1], jnp.int32)
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+
+    y = nn.layer_norm(ln, x)
+    expect = x + ffn_apply(p, cfg, y, conv_mask=mask)
+    got = ffn_block_fused_apply(ln, p, x, lengths, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
 def _xla_resstack(stacks, x, dilations):
     from fastspeech2_tpu.vocoder.melgan import _conv1d_reflect
     for d, stack in zip(dilations, stacks):
