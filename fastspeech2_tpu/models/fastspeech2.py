@@ -197,11 +197,27 @@ class FastSpeech2:
         if self.postnet_cfg is None:
             after = before
         else:
-            resid, new_post = postnet_apply(
-                params["postnet"], state["postnet"], self.postnet_cfg, before,
-                rng=rngs.get("postnet"), training=training, conv_mask=conv_mask)
+            from fastspeech2_tpu.ops.precision import current_compute_dtype
+
+            if (not training and lengths is not None
+                    and self._use_fused_attention()
+                    and current_compute_dtype() == jnp.bfloat16
+                    and self.postnet_cfg.use_batch_norm
+                    and self.postnet_cfg.n_filts % 2 == 1):
+                from fastspeech2_tpu.ops.pallas.postnet import (
+                    postnet_fused_apply)
+
+                # length-adaptive fused postnet chain (ops/pallas/postnet.py)
+                resid = postnet_fused_apply(
+                    params["postnet"], state["postnet"], self.postnet_cfg,
+                    before, lengths)
+            else:
+                resid, new_post = postnet_apply(
+                    params["postnet"], state["postnet"], self.postnet_cfg,
+                    before, rng=rngs.get("postnet"), training=training,
+                    conv_mask=conv_mask)
+                new_state["postnet"] = new_post
             after = before + resid
-            new_state["postnet"] = new_post
         return before, after, new_state
 
     # -- training forward ----------------------------------------------------

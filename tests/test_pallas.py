@@ -162,6 +162,45 @@ def test_fused_ffn_block_matches_xla_chain(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_postnet_matches_postnet_apply(rng):
+    """Fused length-adaptive postnet == the XLA conv/BN/tanh chain with
+    per-stage conv masking, including non-trivial BN running stats, the
+    t<0 halo, boundary rows, and fully-dead blocks."""
+    from fastspeech2_tpu.models.postnet import (PostnetConfig, init_postnet,
+                                                postnet_apply)
+    from fastspeech2_tpu.ops.pallas.postnet import postnet_fused_apply
+
+    cfg = PostnetConfig(odim=16, n_layers=3, n_chans=24, n_filts=5)
+    params, state = init_postnet(jax.random.PRNGKey(0), cfg)
+    # non-trivial running stats (fresh init has mean 0 / var 1)
+    for i, s in enumerate(state["bn"]):
+        c = s["mean"].shape[0]
+        s["mean"] = jnp.asarray(rng.normal(0, 0.5, (c,)), jnp.float32)
+        s["var"] = jnp.asarray(rng.uniform(0.5, 2.0, (c,)), jnp.float32)
+
+    B, L = 3, 32
+    x = jnp.asarray(rng.normal(size=(B, L, cfg.odim)), jnp.float32)
+    lengths = jnp.asarray([32, 13, 1], jnp.int32)
+    mask = jnp.arange(L)[None, :] < lengths[:, None]
+
+    expect, _ = postnet_apply(params, state, cfg, x, conv_mask=mask)
+    got = postnet_fused_apply(params, state, cfg, x, lengths,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    from fastspeech2_tpu.ops.pallas.postnet import fused_postnet
+    got8 = fused_postnet(
+        x, [l["conv"]["w"] for l in params["layers"]],
+        [s["mean"] for s in state["bn"]],
+        [jax.lax.rsqrt(s["var"] + 1e-5) for s in state["bn"]],
+        [l["bn"]["g"] for l in params["layers"]],
+        [l["bn"]["b"] for l in params["layers"]],
+        lengths, cd=jnp.float32, interpret=True, block_t=8)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
 def _xla_resstack(stacks, x, dilations):
     from fastspeech2_tpu.vocoder.melgan import _conv1d_reflect
     for d, stack in zip(dilations, stacks):
