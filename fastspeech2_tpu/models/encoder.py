@@ -188,8 +188,11 @@ def encoder_apply(
                   and current_compute_dtype() == jnp.bfloat16)
     fusable = speed_path and d_k >= 128
     use_fused = fusable and deterministic
-    # the fused conv-FFN has no head-dim constraint
-    use_fused_ffn = speed_path and deterministic
+    # the fused conv-FFN has no head-dim constraint, but it always applies
+    # conv-mask (zeroed-past-length) semantics — engage it only when the
+    # caller asked for those (exact-unpadded inference), never silently
+    # replacing the reference's batched pad-leak eval semantics
+    use_fused_ffn = speed_path and deterministic and conv_mask is not None
     # training variant: custom-VJP kernel with in-kernel hash dropout; whole-T
     # per program, so only for T within its VMEM budget (attention_train.MAX_T)
     from fastspeech2_tpu.ops.pallas.attention_train import MAX_T

@@ -199,7 +199,11 @@ class FastSpeech2:
         else:
             from fastspeech2_tpu.ops.precision import current_compute_dtype
 
+            # conv_mask is not None: the fused kernel hardwires the
+            # zeroed-past-length conv semantics (exact-unpadded inference);
+            # eval-mode forward (conv_mask=None) keeps the XLA pad-leak path
             if (not training and lengths is not None
+                    and conv_mask is not None
                     and self._use_fused_attention()
                     and current_compute_dtype() == jnp.bfloat16
                     and self.postnet_cfg.use_batch_norm

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fastspeech2_tpu.ops.pallas.common import pick_block_t
+
 Array = jax.Array
 
 
@@ -111,14 +113,7 @@ def fused_ffn(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
     assert w2.shape[0] == 1 and w2.shape[1] == H, w2.shape
     out_dtype = out_dtype or x.dtype
     if block_t is None:
-        # small enough that dead-block skipping tracks true lengths,
-        # large enough that the k matmuls stay MXU-shaped
-        for bt in (128, 64, 32, 16, 8):
-            if T % bt == 0:
-                block_t = bt
-                break
-        else:
-            block_t = T
+        block_t = pick_block_t(T)
     assert T % block_t == 0, (T, block_t)
     pad = (k - 1) // 2
 
@@ -240,12 +235,7 @@ def fused_ffn_block(x: Array, g: Array, beta: Array, w1: Array, b1: Array,
     k, _, H = w1.shape
     assert w2.shape == (1, H, D), (w2.shape, x.shape)
     if block_t is None:
-        for bt in (128, 64, 32, 16, 8):
-            if T % bt == 0:
-                block_t = bt
-                break
-        else:
-            block_t = T
+        block_t = pick_block_t(T)
     assert T % block_t == 0, (T, block_t)
     pad = (k - 1) // 2
 

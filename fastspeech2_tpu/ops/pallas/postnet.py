@@ -31,11 +31,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fastspeech2_tpu.ops.pallas.common import pick_block_t
+
 Array = jax.Array
 
 
 def _postnet_kernel(len_ref, x_ref, *args, n_layers: int, kernel: int,
-                    block_t: int, cd, eps: float):
+                    block_t: int, cd):
     # args: w_0..w_{n-1}, mean_0.., inv_0.., g_0.., b_0.., o_ref, xpad_ref
     w_refs = args[:n_layers]
     mean_refs = args[n_layers:2 * n_layers]
@@ -105,11 +107,10 @@ def _postnet_kernel(len_ref, x_ref, *args, n_layers: int, kernel: int,
                                     (block_t, C_out))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_t", "cd",
-                                             "eps"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t",
+                                             "cd"))
 def fused_postnet(x: Array, weights, means, invs, gs, bs, lengths: Array,
-                  *, cd=jnp.bfloat16, eps: float = 1e-5,
-                  interpret: bool = False,
+                  *, cd=jnp.bfloat16, interpret: bool = False,
                   block_t: int | None = None) -> Array:
     """x (B, L, odim) f32 -> postnet residual (B, L, odim) f32.
 
@@ -124,12 +125,7 @@ def fused_postnet(x: Array, weights, means, invs, gs, bs, lengths: Array,
     pad = (k - 1) // 2
     halo = n_layers * pad
     if block_t is None:
-        for bt in (128, 64, 32, 16, 8):
-            if L % bt == 0:
-                block_t = bt
-                break
-        else:
-            block_t = L
+        block_t = pick_block_t(L)
     assert L % block_t == 0, (L, block_t)
 
     xspec = pl.BlockSpec((1, L, C), lambda b, i, lens: (b, 0, 0),
@@ -154,7 +150,7 @@ def fused_postnet(x: Array, weights, means, invs, gs, bs, lengths: Array,
         scratch_shapes=[pltpu.VMEM((L + 2 * halo, C), cd)],
     )
     kern = functools.partial(_postnet_kernel, n_layers=n_layers, kernel=k,
-                             block_t=block_t, cd=cd, eps=eps)
+                             block_t=block_t, cd=cd)
     flops = 2 * B * L * sum(k * w.shape[1] * w.shape[2] for w in weights)
     return pl.pallas_call(
         kern,
@@ -189,4 +185,4 @@ def postnet_fused_apply(params, state, cfg, xs: Array, lengths: Array, *,
     gs = [layer["bn"]["g"] for layer in params["layers"]]
     bs = [layer["bn"]["b"] for layer in params["layers"]]
     return fused_postnet(xs.astype(jnp.float32), weights, means, invs, gs,
-                         bs, lengths, cd=dt, eps=eps, interpret=interpret)
+                         bs, lengths, cd=dt, interpret=interpret)
