@@ -25,6 +25,33 @@ from test_train import tiny_batch, tiny_config
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _run_cluster(script_path, extra_args, tmp_path, attempts: int = 2):
+    """Spawn a 2-process cluster; retry once on failure (the coordinator
+    handshake can time out under full-suite CPU contention -- observed as a
+    one-off when the whole test suite shares the machine with other work)."""
+    last = None
+    for _ in range(attempts):
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = dict(os.environ, PYTHONPATH=f"{REPO}:{REPO}/tests")
+        env.pop("XLA_FLAGS", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script_path), str(pid), str(port)]
+                + [str(a).replace("__PID__", str(pid)) for a in extra_args],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True)
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        last = [(p.returncode, o[-3000:]) for p, o in zip(procs, outs)]
+    raise AssertionError(f"cluster workers failed twice:\n{last}")
+
 WORKER = r"""
 import json, os, sys
 pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
@@ -93,26 +120,9 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     ref_psum = float(sum(np.abs(np.asarray(l)).sum()
                          for l in jax.tree.leaves(ts.params)))
 
-    # free port for the coordinator
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    env = dict(os.environ, PYTHONPATH=f"{REPO}:{REPO}/tests")
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen([sys.executable, str(script), str(pid), str(port),
-                          str(tmp_path / f"out{pid}.json")],
-                         env=env, stdout=subprocess.PIPE,
-                         stderr=subprocess.STDOUT, text=True)
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    _run_cluster(script, [str(tmp_path / "out__PID__.json")], tmp_path)
 
     results = [json.load(open(tmp_path / f"out{pid}.json")) for pid in (0, 1)]
     # both processes agree with each other and with the single-process run
@@ -162,25 +172,9 @@ def test_two_process_train_loop(tmp_path):
     """The REAL train() loop across a 2-process cluster: per-host disjoint
     data striding, process-local batch globalization, collective
     gather_to_host for validation + checkpointing on host 0."""
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-
     script = tmp_path / "loop_worker.py"
     script.write_text(LOOP_WORKER)
-    env = dict(os.environ, PYTHONPATH=f"{REPO}:{REPO}/tests")
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen([sys.executable, str(script), str(pid), str(port),
-                          str(tmp_path)],
-                         env=env, stdout=subprocess.PIPE,
-                         stderr=subprocess.STDOUT, text=True)
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"loop worker failed:\n{o[-3000:]}"
+    _run_cluster(script, [str(tmp_path)], tmp_path)
     for pid in (0, 1):
         r = json.load(open(tmp_path / f"loop{pid}.json"))
         assert r["step"] >= 4 and r["finite"]
