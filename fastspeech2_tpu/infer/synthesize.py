@@ -216,6 +216,72 @@ class Synthesizer:
             jnp.asarray(alphas))
         return np.asarray(mel)[:B], np.asarray(out_lens)[:B]
 
+    def _bucket_plan(self, lens, max_buckets: int, a_max: float):
+        """Partition sorted length ranks into <= max_buckets contiguous
+        segments minimizing total padded frame cost sum(|seg| * l_pad(seg
+        max)). Exact O(n^2 * k) DP; n is a serving micro-batch (small)."""
+        order = sorted(range(len(lens)), key=lambda i: lens[i])
+        n = len(order)
+
+        def seg_cost(i, j):  # ranks [i, j)
+            t_pad = _round_up(lens[order[j - 1]], self.token_multiple)
+            return (j - i) * self._l_pad(t_pad, a_max)
+
+        INF = float("inf")
+        best = [[INF] * (max_buckets + 1) for _ in range(n + 1)]
+        cut = [[0] * (max_buckets + 1) for _ in range(n + 1)]
+        best[0][0] = 0.0
+        for j in range(1, n + 1):
+            for k in range(1, max_buckets + 1):
+                for i in range(j):
+                    if best[i][k - 1] == INF:
+                        continue
+                    c = best[i][k - 1] + seg_cost(i, j)
+                    if c < best[j][k]:
+                        best[j][k] = c
+                        cut[j][k] = i
+        k = min(range(1, max_buckets + 1), key=lambda k: best[n][k])
+        bounds, j = [], n
+        while j > 0:
+            i = cut[j][k]
+            bounds.append((i, j))
+            j, k = i, k - 1
+        return [[order[r] for r in range(i, j)] for i, j in reversed(bounds)]
+
+    def mel_from_token_batch_bucketed(
+        self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
+        max_buckets: int = 3,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Like mel_from_token_batch, but length-sorts the batch into up to
+        max_buckets sub-batches with their own padded (t_pad, l_pad) shapes.
+
+        Heterogeneous serving batches waste decoder FLOPs on padding (the
+        frame buffer sizes to the LONGEST utterance); bucketing bounds that
+        to each sub-batch's own maximum. Each bucket shape jits once and is
+        cached like any other; results match the unbucketed call row-for-row
+        (exact-unpadded inference is padding-invariant) except that a row's
+        frame capacity is its own bucket's l_pad rather than the global one
+        -- the same frames_per_token safety margin a homogeneous batch gets.
+        """
+        B = len(token_seqs)
+        if B <= 1 or max_buckets <= 1:
+            return self.mel_from_token_batch(token_seqs, alpha)
+        alphas, a_max = self._alphas(alpha, B, B)
+        lens = [len(s) for s in token_seqs]
+        groups = self._bucket_plan(lens, max_buckets, a_max)
+        mels, out_lens = [None] * B, np.zeros((B,), np.int32)
+        for g in groups:
+            mel_g, lens_g = self.mel_from_token_batch(
+                [token_seqs[i] for i in g], alphas[g])
+            for row, i in enumerate(g):
+                mels[i] = mel_g[row]
+                out_lens[i] = lens_g[row]
+        L = max(m.shape[0] for m in mels)
+        out = np.zeros((B, L, mels[0].shape[1]), mels[0].dtype)
+        for i, m in enumerate(mels):
+            out[i, : m.shape[0]] = m
+        return out, out_lens
+
     def synth_phonemes(self, phoneme_str: str, alpha: float = 1.0) -> np.ndarray:
         """Space-joined phoneme string -> (L, n_mels) mel."""
         tokens = np.asarray(phonemes_to_sequence(phoneme_str), np.int32)

@@ -45,6 +45,33 @@ def test_synthesizer_text_with_lexicon(small_model):
     assert stats["frames"] == mel.shape[0] > 0
 
 
+def test_bucketed_batch_matches_unbucketed(small_model):
+    """Length-bucketed batch synthesis returns the same rows as the single
+    padded batch (exact-unpadded inference is padding-invariant), including
+    per-sequence alpha routing through the buckets."""
+    import numpy as np
+
+    from fastspeech2_tpu.text import phonemes_to_sequence
+
+    cfg, model, params, state = small_model
+    synth = Synthesizer(model, params, state)
+    phon = ["HH AH0 L OW1", "W ER1 L D pau Y EH1 S",
+            "DH IH1 S IH1 Z AH0 L AO1 NG G ER0 S EH1 N T AH0 N S "
+            "W IH1 DH M EH1 N IY0 T OW1 K AH0 N Z",
+            "N OW1"]
+    seqs = [np.asarray(phonemes_to_sequence(p), np.int32) for p in phon]
+    alpha = np.asarray([1.0, 1.2, 1.0, 0.8], np.float32)
+
+    mel_u, lens_u = synth.mel_from_token_batch(seqs, alpha)
+    mel_b, lens_b = synth.mel_from_token_batch_bucketed(seqs, alpha,
+                                                        max_buckets=3)
+    assert (lens_u == lens_b).all()
+    for i in range(len(seqs)):
+        np.testing.assert_allclose(mel_b[i, : lens_b[i]],
+                                   mel_u[i, : lens_u[i]], rtol=1e-5,
+                                   atol=1e-5)
+
+
 def test_matmul_precision_knob(small_model):
     """matmul_precision="highest" (full-f32 TPU dots for reference-grade
     parity; PARITY.md) must trace and, on CPU where dots are f32 anyway,
