@@ -171,6 +171,8 @@ def shard_train_step_tp(train_step, mesh: Mesh, ts):
     (cfg.model.fused_attention="off" -- the default config is "auto", which
     resolves per-backend; TP training overrides it in train/loop.py).
     """
+    from fastspeech2_tpu.train.step import buffer_donation_is_cheap
+
     ts_shardings = tree_shardings(ts, mesh)
     data = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
@@ -178,7 +180,7 @@ def shard_train_step_tp(train_step, mesh: Mesh, ts):
         train_step,
         in_shardings=(ts_shardings, data, repl),
         out_shardings=(ts_shardings, repl),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if buffer_donation_is_cheap() else (),
     )
 
 

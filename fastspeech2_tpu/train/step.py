@@ -118,16 +118,39 @@ def make_eval_step(model: FastSpeech2):
     return eval_step
 
 
+def buffer_donation_is_cheap() -> bool:
+    """Whether donating the TrainState to the step is free (normal PJRT) or
+    pathological. Remote-tunneled backends (platform_version contains
+    'axon') round-trip donated arguments through the host on EVERY call --
+    measured 12 s vs 21 ms wall per train step at the full model size on a
+    tunneled v5e. Donation is only a memory optimization (avoids holding two
+    copies of params+opt state during the step, ~300 MB at 25.6M params), so
+    skip it on such backends."""
+    try:
+        import jax.extend.backend as jeb
+
+        pv = getattr(jeb.get_backend(), "platform_version", "") or ""
+    except Exception:
+        pv = ""
+    return "axon" not in pv.lower()
+
+
 def shard_train_step(train_step, mesh: Mesh):
     """Jit a train step with GSPMD data-parallel shardings: state replicated,
     batch sharded on its leading axis over the 'data' mesh axis."""
+    donate = (0,) if buffer_donation_is_cheap() else ()
+    if mesh.devices.size == 1:
+        # sharding annotations are a no-op on one device, and on tunneled
+        # backends committed in/out shardings cost a round-trip per pytree
+        # leaf per call (measured 1.4 s vs 21 ms wall per step)
+        return jax.jit(train_step, donate_argnums=donate)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         train_step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=donate,
     )
 
 
