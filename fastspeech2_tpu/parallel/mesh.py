@@ -75,6 +75,11 @@ def shard_inference_fn(infer_fn, mesh: Mesh):
     the batch axis sharded over 'data' and params replicated. The batch size
     must be a multiple of the mesh size; alphas is a per-row (B,) vector that
     shards with the batch (traced, so no recompile per speed value)."""
+    if mesh.devices.size == 1:
+        # no-op shardings on one device; committed in/out shardings cost a
+        # per-leaf host round-trip per call on tunneled backends
+        # (train/step.py:buffer_donation_is_cheap)
+        return jax.jit(infer_fn)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
