@@ -187,10 +187,11 @@ def cmd_synth(args):
     vocoder = None
     vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
     if vocoder_path:
-        from fastspeech2_tpu.vocoder import load_melgan
+        from fastspeech2_tpu.vocoder import detect_vocoder_kind, load_vocoder
 
-        vocoder = load_melgan(vocoder_path)
-        logging.info("vocoding with MelGAN checkpoint %s", vocoder_path)
+        kind = detect_vocoder_kind(vocoder_path)
+        vocoder = load_vocoder(vocoder_path, kind=kind)
+        logging.info("vocoding with %s checkpoint %s", kind, vocoder_path)
     wav = vocode(mel, cfg, vocoder=vocoder)
     write_wav(os.path.join(args.out, "test_tts.wav"), wav, cfg.audio.sample_rate)
     logging.info("wrote %s", os.path.join(args.out, "test_tts.wav"))
@@ -229,14 +230,29 @@ def cmd_serve(args):
                         int8=getattr(args, "int8", False))
     vocoder_path = getattr(args, "vocoder", None) or cfg.train.vocoder_checkpoint
     if vocoder_path:
-        # Fused tts: MelGAN runs inside the same device computation as the
-        # acoustic model (no host round-trip for the mel, one dispatch per
-        # micro-batch instead of one per wav request).
-        from fastspeech2_tpu.vocoder import MelGANGenerator, load_melgan_params
+        from fastspeech2_tpu.vocoder import detect_vocoder_kind
 
-        gen = MelGANGenerator(bf16=(jax.default_backend() == "tpu"))
-        synth.attach_vocoder(gen, load_melgan_params(vocoder_path))
-        logging.info("serving wav fused with MelGAN checkpoint %s", vocoder_path)
+        kind = detect_vocoder_kind(vocoder_path)
+        if kind == "melgan":
+            # Fused tts: MelGAN runs inside the same device computation as
+            # the acoustic model (no host round-trip for the mel, one
+            # dispatch per micro-batch instead of one per wav request).
+            from fastspeech2_tpu.vocoder import (MelGANGenerator,
+                                                 load_melgan_params)
+
+            gen = MelGANGenerator(bf16=(jax.default_backend() == "tpu"))
+            synth.attach_vocoder(gen, load_melgan_params(vocoder_path))
+            logging.info("serving wav fused with MelGAN checkpoint %s",
+                         vocoder_path)
+        else:
+            # WaveGlow draws per-request noise -> runs as its own device
+            # program after the acoustic model, not fused.
+            from fastspeech2_tpu.vocoder import load_waveglow
+
+            synth.attach_vocoder_fn(load_waveglow(
+                vocoder_path, bf16=(jax.default_backend() == "tpu")))
+            logging.info("serving wav with WaveGlow checkpoint %s",
+                         vocoder_path)
     serve(synth, cfg, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 

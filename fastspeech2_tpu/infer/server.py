@@ -104,11 +104,11 @@ class Batcher:
                 # Fused tts when the synthesizer has a vocoder attached: one
                 # device call produces mel AND wav for the whole micro-batch
                 # (no per-request vocoder dispatches, no mel re-upload).
-                if getattr(self.synth, "_voc", None) is not None:
+                if getattr(self.synth, "has_vocoder", False):
                     mels, wavs, wav_lens = self.synth.wav_from_token_batch(
                         [r.tokens for r in batch],
                         alpha=[r.alpha for r in batch])
-                    hop = self.synth._voc.cfg.hop_length
+                    hop = self.synth.hop_length
                     out_lens = wav_lens // hop
                     for r, mel, wav, wn in zip(batch, mels, wavs, wav_lens):
                         r.mel = mel[: int(wn) // hop]

@@ -67,6 +67,9 @@ class Synthesizer:
         self._voc = None
         self._voc_params = None
         self._jitted_wav = {}
+        # host-level text->wav: set by attach_vocoder_fn
+        self._voc_fn = None
+        self._voc_fn_hop = 256
 
     def _fn(self, t_pad: int, l_pad: int):
         key = (t_pad, l_pad)
@@ -107,6 +110,24 @@ class Synthesizer:
         self._voc = gen
         self._voc_params = voc_params
         self._jitted_wav = {}
+
+    def attach_vocoder_fn(self, fn, hop_length: int = 256) -> None:
+        """Enable text->wav via a host-level vocoder callable
+        ``(L, n_mels) log-mel -> (L*hop,) float wav`` (e.g.
+        ``vocoder.load_waveglow``). Unlike ``attach_vocoder``, the acoustic
+        model and vocoder run as separate device programs — needed for
+        vocoders that sample noise per call (WaveGlow)."""
+        self._voc_fn = fn
+        self._voc_fn_hop = hop_length
+
+    @property
+    def has_vocoder(self) -> bool:
+        return self._voc is not None or self._voc_fn is not None
+
+    @property
+    def hop_length(self) -> int:
+        return (self._voc.cfg.hop_length if self._voc is not None
+                else self._voc_fn_hop)
 
     def _wav_fn(self, t_pad: int, l_pad: int):
         key = (t_pad, l_pad)
@@ -170,10 +191,19 @@ class Synthesizer:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """List of id sequences -> (mel (B, L, n_mels) f32, wav (B, L*hop)
         int16 PCM, wav valid lengths = out_lens*hop). Requires
-        attach_vocoder."""
-        assert self._voc is not None, "attach_vocoder first"
+        attach_vocoder or attach_vocoder_fn."""
         if not token_seqs or not all(len(s) for s in token_seqs):
             raise ValueError("empty token sequence: input produced no phonemes")
+        if self._voc is None and self._voc_fn is not None:
+            mel, out_lens = self.mel_from_token_batch(token_seqs, alpha)
+            hop = self._voc_fn_hop
+            wav16 = np.zeros((len(token_seqs), mel.shape[1] * hop), np.int16)
+            for i in range(len(token_seqs)):
+                w = np.clip(np.asarray(
+                    self._voc_fn(mel[i, : out_lens[i]])), -1.0, 1.0)
+                wav16[i, : w.shape[0]] = np.round(w * 32767.0).astype(np.int16)
+            return mel, wav16, out_lens * hop
+        assert self._voc is not None, "attach_vocoder(_fn) first"
         B = len(token_seqs)
         alphas, a_max = self._alphas(alpha, B, B)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
