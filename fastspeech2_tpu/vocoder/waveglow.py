@@ -215,7 +215,8 @@ def init_waveglow(key, cfg: WaveGlowConfig = WaveGlowConfig()):
     """Random init (tests/smoke): orthogonal 1x1 convs (as NVIDIA does via
     QR of a Gaussian), small-random ``end`` (NVIDIA zero-inits it; tests
     want non-degenerate couplings)."""
-    keys = iter(jax.random.split(key, 8 * cfg.n_flows + 8))
+    keys = iter(jax.random.split(
+        key, (5 + 2 * cfg.wn_layers) * cfg.n_flows + 2))
     params: Dict = {"upsample": None, "flows": []}
     kw, kb = jax.random.split(next(keys))
     bound = 1.0 / math.sqrt(cfg.n_mels * cfg.upsample_kernel)
