@@ -373,7 +373,8 @@ def load_waveglow_params(path: str):
             sd = sd[key]
     if hasattr(sd, "state_dict"):  # a pickled nn.Module
         sd = sd.state_dict()
-    sd = {k: np.asarray(v) for k, v in sd.items()
+    sd = {k[len("model."):] if k.startswith("model.") else k: np.asarray(v)
+          for k, v in sd.items()
           if hasattr(v, "__array__") or hasattr(v, "numpy")}
     cfg = waveglow_config_from_state_dict(sd)
     return waveglow_params_from_torch(sd, cfg), cfg
