@@ -77,10 +77,12 @@ params, state, _, step, cfg = load_checkpoint(path, p0, s0)
 print(f"loaded {path} (step {step})")"""))
 
 cells.append(nbf.v4.new_markdown_cell(
-    "## 4. Synthesize\n\nPhonemes → mel → Griffin-Lim wav. Pass a MelGAN "
-    "checkpoint to `vocode()` (or `Synthesizer.attach_vocoder` for the "
-    "fused one-device-call path) for neural vocoding. `alpha` controls "
-    "speech speed per utterance."))
+    "## 4. Synthesize\n\nPhonemes → mel → Griffin-Lim wav. For neural "
+    "vocoding pass a MelGAN or WaveGlow checkpoint to `vocode()` via "
+    "`vocoder.load_vocoder(path)` (auto-detects the family; the reference "
+    "demo pulls the same two vocoders from torch.hub), or use "
+    "`Synthesizer.attach_vocoder` for MelGAN's fused one-device-call path. "
+    "`alpha` controls speech speed per utterance."))
 
 cells.append(nbf.v4.new_code_cell("""\
 from fastspeech2_tpu.infer.synthesize import Synthesizer, vocode, write_wav
@@ -106,9 +108,10 @@ print("wrote", os.path.join(WORKDIR, "mel.png"))"""))
 cells.append(nbf.v4.new_markdown_cell("""\
 ## Going further
 
-- `python -m fastspeech2_tpu serve -p CKPT --vocoder melgan.pt` — micro-batching
-  HTTP server; concurrent requests (even with different speeds) share one
-  padded device call, mel→wav fused on-device.
+- `python -m fastspeech2_tpu serve -p CKPT --vocoder melgan.pt|waveglow.pt` —
+  micro-batching HTTP server; concurrent requests (even with different
+  speeds) share one padded device call; with MelGAN, mel→wav is fused
+  on-device.
 - `python -m fastspeech2_tpu export -p CKPT -o model.stablehlo` — AOT serving
   artifact; alpha is a runtime input.
 - `docs/MIGRATION.md` — the workflow map for users of the PyTorch reference."""))
