@@ -290,7 +290,8 @@ def cmd_export(args):
                      batch=args.batch, max_tokens=args.max_tokens,
                      max_frames=args.max_frames, bf16=args.bf16,
                      matmul_precision=args.precision,
-                     int8=getattr(args, "int8", False))
+                     int8=getattr(args, "int8", False),
+                     vocoder_path=getattr(args, "vocoder", None))
 
 
 def main(argv=None):
@@ -385,6 +386,9 @@ def main(argv=None):
     sp.add_argument("--int8", action="store_true",
                     help="bake W8A8 int8 encoder/decoder matmuls into the "
                          "artifact (serving speed tier)")
+    sp.add_argument("--vocoder", default=None,
+                    help="MelGAN checkpoint to bake in: the artifact then "
+                         "emits (mel, wav int16, out_lens) as one program")
     sp.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)

@@ -24,7 +24,8 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
                      max_tokens: int = 192, max_frames: int = 1024,
                      bf16: bool = False,
                      matmul_precision: str = "default",
-                     int8: bool = False) -> str:
+                     int8: bool = False,
+                     vocoder_path: Optional[str] = None) -> str:
     """Serialize the inference fn (params baked in) to ``out_path``.
 
     Returns the written path. Loads reference .pth checkpoints or our .npz;
@@ -33,6 +34,11 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
     semantics as infer.synthesize.Synthesizer: bf16 = MXU speed path,
     matmul_precision="highest" = full-f32 dots for TPU parity-grade serving,
     int8 = W8A8 encoder/decoder matmuls via ops/quant8.py).
+
+    vocoder_path: a MelGAN checkpoint to bake in — the artifact then computes
+    tokens -> (mel, wav int16 PCM, out_lens) as ONE program (the fused
+    text->wav serving path, same semantics as Synthesizer.attach_vocoder).
+    WaveGlow cannot be baked (it samples noise per call); use it host-side.
     """
     from jax import export as jax_export
 
@@ -73,6 +79,20 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
 
     from fastspeech2_tpu.ops.precision import compute_dtype
 
+    voc_gen = voc_params = None
+    if vocoder_path:
+        from fastspeech2_tpu.vocoder import (MelGANGenerator,
+                                             detect_vocoder_kind,
+                                             load_melgan_params)
+
+        kind = detect_vocoder_kind(vocoder_path)
+        if kind != "melgan":
+            raise ValueError(
+                f"only MelGAN can be baked into the artifact (got {kind}: "
+                "WaveGlow samples noise per call); vocode host-side instead")
+        voc_gen = MelGANGenerator(bf16=bf16)
+        voc_params = load_melgan_params(vocoder_path)
+
     def infer(xs, ilens, alphas):
         prec = (jax.default_matmul_precision(matmul_precision)
                 if matmul_precision != "default" else contextlib.nullcontext())
@@ -80,7 +100,16 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
             mel, out_lens, durs = model.inference(
                 params, state, xs, ilens, out_maxlen=max_frames,
                 alpha=alphas)
-        return mel, out_lens
+        if voc_gen is None:
+            return mel, out_lens
+        import math
+
+        # frames past each utterance -> the log-mel floor (vocoder silence),
+        # then wav as int16 PCM on-device (== Synthesizer._wav_fn semantics)
+        valid = jnp.arange(max_frames)[None, :, None] < out_lens[:, None, None]
+        wav = voc_gen(voc_params, jnp.where(valid, mel, math.log(1e-5)))
+        wav16 = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        return mel, wav16, out_lens
 
     exported = jax_export.export(jax.jit(infer))(
         jax.ShapeDtypeStruct((batch, max_tokens), jnp.int32),
@@ -99,8 +128,9 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
 
 def load_exported(path: str):
     """Reload an exported artifact; returns a callable
-    (xs, ilens, alphas=None) -> (mel, out_lens). alphas defaults to 1.0
-    (normal speed) per row."""
+    (xs, ilens, alphas=None) -> (mel, out_lens), or (mel, wav int16,
+    out_lens) for artifacts exported with a baked vocoder. alphas defaults
+    to 1.0 (normal speed) per row."""
     from jax import export as jax_export
 
     with open(path, "rb") as f:

@@ -304,3 +304,49 @@ def test_empty_input_raises_value_error(small_model):
         synth.synth_text("...")
     with pytest.raises(ValueError):
         synth.mel_from_token_batch([])
+
+
+def test_export_with_baked_melgan_vocoder(tmp_path, rng):
+    """export --vocoder: the artifact emits (mel, int16 wav, out_lens) as one
+    program; WaveGlow checkpoints are rejected with a clear error."""
+    import jax.numpy as jnp
+    import torch
+
+    from fastspeech2_tpu.infer.export import export_inference, load_exported
+    from test_vocoder import _torch_seungwonpark_generator
+
+    cfg = small_cfg()
+    cfg_path = os.path.join(tmp_path, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_yaml())
+    torch.manual_seed(7)
+    gen_t = _torch_seungwonpark_generator(base=32)
+    torch.save({"model_g": {f"generator.{k}": v
+                            for k, v in gen_t.state_dict().items()}},
+               os.path.join(tmp_path, "mg.pt"))
+
+    path = export_inference(
+        None, os.path.join(tmp_path, "tts.stablehlo"), config_path=cfg_path,
+        batch=2, max_tokens=16, max_frames=64,
+        vocoder_path=os.path.join(tmp_path, "mg.pt"))
+    fn = load_exported(path)
+    xs = np.zeros((2, 16), np.int32)
+    xs[0, :5] = [1, 2, 3, 4, 5]
+    xs[1, :3] = [6, 7, 8]
+    mel, wav16, out_lens = fn(jnp.asarray(xs),
+                              jnp.asarray([5, 3], jnp.int32))
+    assert mel.shape == (2, 64, 80)
+    assert wav16.shape == (2, 64 * 256) and wav16.dtype == jnp.int16
+    assert out_lens.shape == (2,)
+    assert bool(jnp.all(jnp.abs(wav16.astype(jnp.int32)) <= 32767))
+
+    # waveglow checkpoints cannot be baked (per-call noise)
+    from test_waveglow import CFG as WG_CFG, _TorchWaveGlow
+
+    torch.save({"state_dict": _TorchWaveGlow(WG_CFG).state_dict()},
+               os.path.join(tmp_path, "wg.pt"))
+    with pytest.raises(ValueError, match="MelGAN"):
+        export_inference(
+            None, os.path.join(tmp_path, "x.stablehlo"), config_path=cfg_path,
+            batch=1, max_tokens=16, max_frames=64,
+            vocoder_path=os.path.join(tmp_path, "wg.pt"))
