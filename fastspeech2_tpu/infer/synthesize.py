@@ -111,14 +111,16 @@ class Synthesizer:
         self._voc_params = voc_params
         self._jitted_wav = {}
 
-    def attach_vocoder_fn(self, fn, hop_length: int = 256) -> None:
+    def attach_vocoder_fn(self, fn, hop_length: Optional[int] = None) -> None:
         """Enable text->wav via a host-level vocoder callable
         ``(L, n_mels) log-mel -> (L*hop,) float wav`` (e.g.
         ``vocoder.load_waveglow``). Unlike ``attach_vocoder``, the acoustic
         model and vocoder run as separate device programs — needed for
-        vocoders that sample noise per call (WaveGlow)."""
+        vocoders that sample noise per call (WaveGlow). hop_length defaults
+        to the callable's own ``hop_length`` attribute (else 256)."""
         self._voc_fn = fn
-        self._voc_fn_hop = hop_length
+        self._voc_fn_hop = (hop_length if hop_length is not None
+                            else getattr(fn, "hop_length", 256))
 
     @property
     def has_vocoder(self) -> bool:
@@ -197,11 +199,22 @@ class Synthesizer:
         if self._voc is None and self._voc_fn is not None:
             mel, out_lens = self.mel_from_token_batch(token_seqs, alpha)
             hop = self._voc_fn_hop
-            wav16 = np.zeros((len(token_seqs), mel.shape[1] * hop), np.int16)
-            for i in range(len(token_seqs)):
-                w = np.clip(np.asarray(
-                    self._voc_fn(mel[i, : out_lens[i]])), -1.0, 1.0)
-                wav16[i, : w.shape[0]] = np.round(w * 32767.0).astype(np.int16)
+            batched = getattr(self._voc_fn, "batched", None)
+            if batched is not None:
+                # one device call for the whole micro-batch (static shape)
+                wav = np.clip(np.asarray(batched(mel, out_lens)), -1.0, 1.0)
+                wav16 = np.round(wav * 32767.0).astype(np.int16)
+                tail = (np.arange(wav16.shape[1])[None, :]
+                        >= (out_lens * hop)[:, None])
+                wav16[tail] = 0
+            else:
+                wav16 = np.zeros((len(token_seqs), mel.shape[1] * hop),
+                                 np.int16)
+                for i in range(len(token_seqs)):
+                    w = np.clip(np.asarray(
+                        self._voc_fn(mel[i, : out_lens[i]])), -1.0, 1.0)
+                    wav16[i, : w.shape[0]] = np.round(
+                        w * 32767.0).astype(np.int16)
             return mel, wav16, out_lens * hop
         assert self._voc is not None, "attach_vocoder(_fn) first"
         B = len(token_seqs)

@@ -391,20 +391,43 @@ def load_waveglow(path: str, sigma: float = 1.0, bf16: bool = False,
     Mels pad (with the log(1e-5) floor) to a multiple of ``batch_frames`` to
     bound the jit cache. Noise is drawn from a per-call counter-derived key:
     deterministic for a fixed call sequence, independent across calls.
+
+    The returned callable also carries a ``.batched(mels (B, L, n_mels),
+    out_lens (B,)) -> (B, L*hop) float`` attribute: one device call for a
+    whole padded serving micro-batch (frames past each row's length are
+    floor-masked to silence first). ``Synthesizer.attach_vocoder_fn`` uses
+    it when present instead of B per-row dispatches.
     """
     params, cfg = load_waveglow_params(path)
     wg = WaveGlow(cfg, bf16=bf16)
     jitted = jax.jit(wg.infer, static_argnames=("sigma",))
-    calls = [seed]
+    calls = [0]
+    floor = math.log(1e-5)
+
+    def _key():
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), calls[0])
+        calls[0] += 1
+        return key
 
     def vocoder(mel: np.ndarray) -> np.ndarray:
         L = mel.shape[0]
         pad = (-L) % batch_frames
         m = np.pad(mel.astype(np.float32), ((0, pad), (0, 0)),
-                   constant_values=math.log(1e-5))
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), calls[0])
-        calls[0] += 1
-        wav = jitted(params, jnp.asarray(m[None]), key, sigma=sigma)
+                   constant_values=floor)
+        wav = jitted(params, jnp.asarray(m[None]), _key(), sigma=sigma)
         return np.asarray(wav)[0, : L * cfg.hop_length]
 
+    def batched(mels: np.ndarray, out_lens: np.ndarray) -> np.ndarray:
+        B, L, _ = mels.shape
+        pad = (-L) % batch_frames
+        m = np.pad(mels.astype(np.float32), ((0, 0), (0, pad), (0, 0)),
+                   constant_values=floor)
+        valid = (np.arange(m.shape[1])[None, :, None]
+                 < np.asarray(out_lens)[:, None, None])
+        m = np.where(valid, m, floor)
+        wav = jitted(params, jnp.asarray(m), _key(), sigma=sigma)
+        return np.asarray(wav)[:, : L * cfg.hop_length]
+
+    vocoder.batched = batched
+    vocoder.hop_length = cfg.hop_length
     return vocoder

@@ -259,7 +259,7 @@ def test_synthesizer_attach_vocoder_fn(tmp_path):
     voc = load_waveglow(str(tmp_path / "wg.pt"), batch_frames=8)
 
     synth = Synthesizer(model, params, state)
-    synth.attach_vocoder_fn(voc, hop_length=wcfg.hop_length)
+    synth.attach_vocoder_fn(voc)  # hop auto-discovered from the callable
     assert synth.has_vocoder and synth.hop_length == wcfg.hop_length
     toks = [np.asarray(phonemes_to_sequence(s), np.int32)
             for s in ("HH AH0 L OW1", "W ER1 L D pau N AW1")]
@@ -270,3 +270,27 @@ def test_synthesizer_attach_vocoder_fn(tmp_path):
         assert wav_lens[i] > 0
         assert np.any(wav16[i, : wav_lens[i]] != 0)
         assert np.all(wav16[i, wav_lens[i]:] == 0)
+
+
+def test_load_waveglow_batched_api(tmp_path, rng):
+    """.batched vocodes a padded micro-batch in one call: valid lengths
+    honored, per-row silence past each row's frames, rows independent of
+    the padding rows' content."""
+    oracle = _TorchWaveGlow(CFG)
+    torch.save(oracle.state_dict(), tmp_path / "wg.pt")
+    voc = load_waveglow(str(tmp_path / "wg.pt"), sigma=0.7, batch_frames=8)
+    B, L = 3, 16
+    mels = rng.normal(-5, 2, size=(B, L, CFG.n_mels)).astype(np.float32)
+    out_lens = np.asarray([16, 9, 4], np.int32)
+    wav = voc.batched(mels, out_lens)
+    assert wav.shape == (B, L * CFG.hop_length)
+    assert np.isfinite(wav).all()
+    # row independence: another row's mel content (incl. its garbage padding
+    # region) must not leak into this row's waveform — same seed, row 0
+    # perturbed, row 2 identical
+    voc2 = load_waveglow(str(tmp_path / "wg.pt"), sigma=0.7, batch_frames=8)
+    mels2 = mels.copy()
+    mels2[0] += 3.0
+    wav2 = voc2.batched(mels2, out_lens)
+    assert not np.allclose(wav[0], wav2[0])
+    np.testing.assert_array_equal(wav[2], wav2[2])
