@@ -102,14 +102,12 @@ def export_inference(checkpoint_path: Optional[str], out_path: str,
                 alpha=alphas)
         if voc_gen is None:
             return mel, out_lens
-        import math
+        from fastspeech2_tpu.infer.synthesize import mel_floor_mask, pcm16
 
-        # frames past each utterance -> the log-mel floor (vocoder silence),
-        # then wav as int16 PCM on-device (== Synthesizer._wav_fn semantics)
-        valid = jnp.arange(max_frames)[None, :, None] < out_lens[:, None, None]
-        wav = voc_gen(voc_params, jnp.where(valid, mel, math.log(1e-5)))
-        wav16 = jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-        return mel, wav16, out_lens
+        # same semantics as Synthesizer._wav_fn: silence past each row's
+        # length, int16 PCM on-device
+        wav = voc_gen(voc_params, mel_floor_mask(mel, out_lens))
+        return mel, pcm16(wav), out_lens
 
     exported = jax_export.export(jax.jit(infer))(
         jax.ShapeDtypeStruct((batch, max_tokens), jnp.int32),

@@ -12,6 +12,7 @@ jit cache stays warm across calls; batches of sentences run in one device call.
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -27,6 +28,23 @@ from fastspeech2_tpu.text.g2p import preprocess_text, process_paragraph
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# the log-mel value vocoders treat as silence (log(clamp_min) of the mel
+# pipeline, reference dataset/audio_processing.py:243)
+MEL_FLOOR = math.log(1e-5)
+
+
+def mel_floor_mask(mel, out_lens):
+    """Frames at/past each row's length -> the log-mel floor, so a padded
+    static buffer vocodes to silence beyond the utterance."""
+    valid = jnp.arange(mel.shape[1])[None, :, None] < out_lens[:, None, None]
+    return jnp.where(valid, mel, MEL_FLOOR)
+
+
+def pcm16(wav, xp=jnp):
+    """float waveform -> int16 PCM (pass xp=np for a host-side array)."""
+    return xp.round(xp.clip(wav, -1.0, 1.0) * 32767.0).astype(xp.int16)
 
 
 class Synthesizer:
@@ -135,11 +153,9 @@ class Synthesizer:
         key = (t_pad, l_pad)
         if key not in self._jitted_wav:
             from fastspeech2_tpu.ops.precision import compute_dtype
-            import math as _math
 
             dt = jnp.bfloat16 if self.bf16 else None
             gen = self._voc
-            floor = _math.log(1e-5)
 
             def _prec():
                 return (jax.default_matmul_precision(self.matmul_precision)
@@ -151,20 +167,14 @@ class Synthesizer:
                     mel, out_lens, durs = self.model.inference(
                         params, state, xs, ilens, out_maxlen=l_pad,
                         alpha=alphas)
-                # Frames past each utterance's length -> the log-mel floor,
-                # the value the vocoder treats as silence. These double as the
-                # tail-flush frames the standalone vocoder path pads in
-                # (melgan.load_melgan); l_pad stays a multiple of 256 so the
-                # fused residual-stack kernel keeps its 2048-sample tiles.
-                valid = (jnp.arange(l_pad)[None, :, None]
-                         < out_lens[:, None, None])
-                mel_v = jnp.where(valid, mel, floor)
-                wav = gen(voc_params, mel_v)
-                # int16 PCM on-device: halves the device->host bytes and the
-                # server writes it straight into the RIFF body.
-                wav16 = jnp.round(
-                    jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-                return mel, wav16, out_lens
+                # Floor-masked frames double as the tail-flush frames the
+                # standalone vocoder path pads in (melgan.load_melgan); l_pad
+                # stays a multiple of 256 so the fused residual-stack kernel
+                # keeps its 2048-sample tiles. int16 PCM on-device halves the
+                # device->host bytes and the server writes it straight into
+                # the RIFF body.
+                wav = gen(voc_params, mel_floor_mask(mel, out_lens))
+                return mel, pcm16(wav), out_lens
             self._jitted_wav[key] = jax.jit(infer_wav)
         return self._jitted_wav[key]
 
@@ -202,8 +212,7 @@ class Synthesizer:
             batched = getattr(self._voc_fn, "batched", None)
             if batched is not None:
                 # one device call for the whole micro-batch (static shape)
-                wav = np.clip(np.asarray(batched(mel, out_lens)), -1.0, 1.0)
-                wav16 = np.round(wav * 32767.0).astype(np.int16)
+                wav16 = pcm16(np.asarray(batched(mel, out_lens)), np)
                 tail = (np.arange(wav16.shape[1])[None, :]
                         >= (out_lens * hop)[:, None])
                 wav16[tail] = 0
@@ -211,10 +220,8 @@ class Synthesizer:
                 wav16 = np.zeros((len(token_seqs), mel.shape[1] * hop),
                                  np.int16)
                 for i in range(len(token_seqs)):
-                    w = np.clip(np.asarray(
-                        self._voc_fn(mel[i, : out_lens[i]])), -1.0, 1.0)
-                    wav16[i, : w.shape[0]] = np.round(
-                        w * 32767.0).astype(np.int16)
+                    w = np.asarray(self._voc_fn(mel[i, : out_lens[i]]))
+                    wav16[i, : w.shape[0]] = pcm16(w, np)
             return mel, wav16, out_lens * hop
         assert self._voc is not None, "attach_vocoder(_fn) first"
         B = len(token_seqs)

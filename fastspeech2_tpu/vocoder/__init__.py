@@ -36,8 +36,12 @@ def detect_vocoder_kind(path: str) -> str:
         obj = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("state_dict", "model", "waveglow", "model_g", "generator"):
         if isinstance(obj, dict) and key in obj and obj[key] is not None:
-            if isinstance(obj[key], dict):
-                obj = obj[key]
+            inner = obj[key]
+            if isinstance(inner, dict):
+                obj = inner
+            elif hasattr(inner, "state_dict"):
+                # NVIDIA train-style layout: a pickled nn.Module under the key
+                obj = inner.state_dict()
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     keys = " ".join(obj.keys()) if isinstance(obj, dict) else ""

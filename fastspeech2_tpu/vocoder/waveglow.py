@@ -276,18 +276,19 @@ def waveglow_config_from_state_dict(sd: Dict[str, np.ndarray]
     wn_kernel = w_in0.shape[2]
     up_w = np.asarray(sd["upsample.weight"])  # (in, out, k)
     n_mels, _, up_k = up_w.shape
-    start0 = np.asarray(sd["WN.0.start.weight"])
-    n_group = 2 * start0.shape[1]
+    # NVIDIA weight-norms the WN start convs too: raw training checkpoints
+    # carry only start.weight_v/weight_g, so fold (shape is unchanged)
+    n_group = 2 * _maybe_fold_wn(sd, "WN.0.start").shape[1]
     # early sizes from the channel drops across flows
-    chans = [2 * np.asarray(sd[f"WN.{k}.start.weight"]).shape[1]
+    chans = [2 * _maybe_fold_wn(sd, f"WN.{k}.start").shape[1]
              for k in range(n_flows)]
     n_early_every = next((k for k in range(1, n_flows)
                           if chans[k] != chans[k - 1]), 4)
     n_early_size = chans[0] - chans[n_early_every] if n_early_every < n_flows \
         else 2
-    if "cond_layer" in " ".join(sd):
+    if "WN.0.cond_layer.weight" in sd or "WN.0.cond_layer.weight_v" in sd:
         cond_in = _maybe_fold_wn(sd, "WN.0.cond_layer").shape[1]
-    else:
+    else:  # legacy per-layer cond convs
         cond_in = _maybe_fold_wn(sd, "WN.0.cond_layers.0").shape[1]
     assert cond_in == n_mels * n_group, (cond_in, n_mels, n_group)
     return WaveGlowConfig(

@@ -63,7 +63,9 @@ class _TorchWN(torch.nn.Module):
         wnorm = torch.nn.utils.weight_norm
         self.n_layers, self.n_channels = n_layers, n_channels
         self.fused_cond = fused_cond
-        self.start = torch.nn.Conv1d(n_half, n_channels, 1)
+        # NVIDIA weight-norms start (raw checkpoints carry start.weight_v/g);
+        # end is a plain zero-init conv
+        self.start = wnorm(torch.nn.Conv1d(n_half, n_channels, 1))
         self.end = torch.nn.Conv1d(n_channels, 2 * n_half, 1)
         if fused_cond:
             self.cond_layer = wnorm(
@@ -294,3 +296,33 @@ def test_load_waveglow_batched_api(tmp_path, rng):
     wav2 = voc2.batched(mels2, out_lens)
     assert not np.allclose(wav[0], wav2[0])
     np.testing.assert_array_equal(wav[2], wav2[2])
+
+
+def test_nvidia_train_style_checkpoint(tmp_path, rng):
+    """NVIDIA's train.py saves {'model': <WaveGlow nn.Module>, 'iteration': N}
+    (a pickled module under a dict key): both family detection and loading
+    must handle it."""
+    from fastspeech2_tpu.vocoder import detect_vocoder_kind
+
+    oracle = _TorchWaveGlow(CFG)
+    torch.save({"model": oracle, "iteration": 1000, "optimizer": None},
+               tmp_path / "wg_train.pt")
+    assert detect_vocoder_kind(str(tmp_path / "wg_train.pt")) == "waveglow"
+    voc = load_waveglow(str(tmp_path / "wg_train.pt"), batch_frames=8)
+    mel = rng.normal(-5, 2, size=(9, CFG.n_mels)).astype(np.float32)
+    wav = voc(mel)
+    assert wav.shape == (9 * CFG.hop_length,) and np.isfinite(wav).all()
+
+
+def test_legacy_cond_layers_config_inference(tmp_path, rng):
+    """Config inference must recognize legacy per-layer cond_layers.{i}
+    checkpoints ('cond_layer' is a substring of 'cond_layers' — exact key
+    checks required) and load_waveglow must work without an explicit cfg."""
+    oracle = _TorchWaveGlow(CFG, fused_cond=False)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    assert waveglow_config_from_state_dict(sd) == CFG
+    torch.save(oracle.state_dict(), tmp_path / "wg_legacy.pt")
+    voc = load_waveglow(str(tmp_path / "wg_legacy.pt"), batch_frames=8)
+    mel = rng.normal(-5, 2, size=(7, CFG.n_mels)).astype(np.float32)
+    wav = voc(mel)
+    assert wav.shape == (7 * CFG.hop_length,) and np.isfinite(wav).all()
