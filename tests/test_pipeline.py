@@ -350,3 +350,45 @@ def test_export_with_baked_melgan_vocoder(tmp_path, rng):
             None, os.path.join(tmp_path, "x.stablehlo"), config_path=cfg_path,
             batch=1, max_tokens=16, max_frames=64,
             vocoder_path=os.path.join(tmp_path, "wg.pt"))
+
+
+REF_SAMPLES = "/root/reference/sample"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAMPLES),
+                    reason="reference samples not mounted")
+def test_cli_preprocess_real_speech():
+    """preprocess over the reference's published speech samples (real 22 kHz
+    audio, not synthetic tones): mel in the log(clamp 1e-5) domain, F0 in
+    human-voice range on voiced frames, energy strictly positive, frame
+    count == ceil(samples/hop)."""
+    import shutil
+    import tempfile
+
+    from scipy.io.wavfile import read as read_wav_file
+
+    from fastspeech2_tpu.cli import main as cli_main
+
+    with tempfile.TemporaryDirectory() as td:
+        wav_dir = os.path.join(td, "wavs")
+        os.makedirs(wav_dir)
+        src = os.path.join(REF_SAMPLES, "sample_74k_melgan.wav")
+        shutil.copy(src, os.path.join(wav_dir, "REAL-0.wav"))
+        out_dir = os.path.join(td, "features")
+        cli_main(["preprocess", "-d", wav_dir, "-o", out_dir])
+
+        sr, data = read_wav_file(src)
+        assert sr == 22050
+        mel = np.load(os.path.join(out_dir, "mels", "REAL-0.npy"))
+        e = np.load(os.path.join(out_dir, "energy", "REAL-0.npy"))
+        p = np.load(os.path.join(out_dir, "pitch", "REAL-0.npy"))
+        n_frames = len(data) // 256 + 1
+        assert mel.shape == (80, n_frames)
+        assert len(e) == n_frames
+        # log(clamp(mel, 1e-5)) domain: floor at log(1e-5), speech well above
+        assert mel.min() >= np.log(1e-5) - 1e-4
+        assert mel.max() > -2.0
+        assert (e > 0).all()
+        voiced = p[p > 0]
+        assert len(voiced) > 0.2 * len(p)  # speech: a real voiced fraction
+        assert 70 < np.median(voiced) < 400  # plausible human F0
