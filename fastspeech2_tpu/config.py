@@ -149,6 +149,14 @@ class TrainConfig:
     sequence_parallel: bool = False
     bf16: bool = False  # bf16 matmuls for speed configs; f32 for parity configs
     max_tokens: int = 192  # static phoneme-axis pad (longest LJSpeech ~180)
+    # Rematerialize FFT-block activations in the backward pass
+    # (jax.checkpoint per block): trades ~15% step-time FLOPs for O(num_blocks)
+    # less activation memory -- the standard TPU HBM-for-FLOPs lever for
+    # larger batches. Numerics unchanged. No reference equivalent.
+    remat: bool = False
+    # Retain only the newest N step checkpoints (0 = keep all, matching the
+    # reference, which never prunes). The preemption checkpoint is never pruned.
+    keep_ckpts: int = 0
 
 
 @dataclass(frozen=True)

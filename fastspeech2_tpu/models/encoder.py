@@ -163,6 +163,7 @@ def encoder_apply(
     conv_mask: Optional[Array] = None,
     lengths: Optional[Array] = None,
     fused_attention: bool = False,
+    remat: bool = False,
 ) -> Array:
     """Run the FFT-block stack.
 
@@ -173,6 +174,10 @@ def encoder_apply(
         lengths: (B,) true lengths; required for fused_attention.
         fused_attention: use the Pallas fused-attention kernel (deterministic
             path only -- attention dropout needs the XLA path).
+        remat: rematerialize each FFT block in the backward pass
+            (jax.checkpoint) -- activation memory drops from O(num_blocks)
+            stored intermediates to one residual stream per block boundary,
+            at the cost of recomputing each block's forward during backprop.
     Returns:
         (B, T, attention_dim) hidden states.
     """
@@ -221,7 +226,12 @@ def encoder_apply(
     from fastspeech2_tpu.parallel.sharding import constrain_seq
 
     x = constrain_seq(x)
-    for layer in params["layers"]:
+
+    def fft_block(layer, x, brngs):
+        """One FFT block (pre/post-LN attn + conv-FFN). mask/conv_mask/lengths
+        are closed over; brngs carries this block's 4 dropout keys in the
+        fixed schedule order so remat on/off is bit-identical."""
+        r = iter(brngs)
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
         if use_fused:
@@ -281,6 +291,15 @@ def encoder_apply(
                                       deterministic=deterministic)
             if not cfg.normalize_before:
                 x = nn.layer_norm(layer["norm2"], x)
+        return x
+
+    if remat:
+        # memory-for-FLOPs trade (jax.checkpoint): each block's internals are
+        # recomputed in backward instead of stored. Composes with the fused
+        # custom-VJP training attention (its fwd is what gets replayed).
+        fft_block = jax.checkpoint(fft_block)
+    for i, layer in enumerate(params["layers"]):
+        x = fft_block(layer, x, tuple(rngs[2 + 4 * i: 6 + 4 * i]))
         x = constrain_seq(x)
 
     if cfg.normalize_before:

@@ -189,7 +189,8 @@ class FastSpeech2:
         zs = encoder_apply(params["decoder"], self.decoder_cfg, hs, h_mask_2d,
                            rng=rngs.get("decoder"), deterministic=not training,
                            conv_mask=conv_mask, lengths=lengths,
-                           fused_attention=self._use_fused_attention())
+                           fused_attention=self._use_fused_attention(),
+                           remat=training and self.cfg.train.remat)
         before = nn.linear(params["feat_out"], zs)
         B = before.shape[0]
         before = before.reshape(B, -1, self.odim)
@@ -246,7 +247,8 @@ class FastSpeech2:
         hs = encoder_apply(params["encoder"], self.encoder_cfg, batch.xs, x_masks,
                            rng=rngs.get("encoder"), deterministic=not training,
                            lengths=batch.ilens,
-                           fused_attention=self._use_fused_attention())
+                           fused_attention=self._use_fused_attention(),
+                           remat=training and self.cfg.train.remat)
 
         # ground-truth quantized pitch/energy (no grad flows: table lookups only)
         one_hot_energy = to_one_hot(batch.es, self.energy_bins)

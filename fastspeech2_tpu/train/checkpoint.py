@@ -107,3 +107,23 @@ def load_checkpoint(
 def load_checkpoint_meta(path: str) -> dict:
     with np.load(path, allow_pickle=False) as z:
         return json.loads(bytes(z["__meta__"]).decode())
+
+
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Retain only the newest ``keep`` step checkpoints in ``ckpt_dir``
+    (cfg.train.keep_ckpts). keep <= 0 keeps everything -- the reference never
+    prunes, so that is the default. Steps sort lexicographically thanks to the
+    zero-padded ``ckpt_{step:08d}.npz`` naming."""
+    if keep <= 0:
+        return
+    import glob
+    import re
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(ckpt_dir, "ckpt_*.npz"))
+        if re.fullmatch(r"ckpt_\d+\.npz", os.path.basename(f)))
+    for f in files[:-keep]:
+        try:
+            os.unlink(f)
+        except OSError:  # already gone / racing writer: retention is advisory
+            pass

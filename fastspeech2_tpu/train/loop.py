@@ -8,8 +8,10 @@ the same loop on its batch shard; host 0 writes checkpoints/metrics.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
+import signal
 import sys
 import time
 from typing import Optional
@@ -23,7 +25,11 @@ from fastspeech2_tpu.data.batching import BucketBatcher
 from fastspeech2_tpu.data.dataset import TTSDataset
 from fastspeech2_tpu.data.prefetch import prefetch
 from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
-from fastspeech2_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from fastspeech2_tpu.train.checkpoint import (
+    load_checkpoint,
+    prune_checkpoints,
+    save_checkpoint,
+)
 from fastspeech2_tpu.train.metrics import MetricsWriter, Throughput
 from fastspeech2_tpu.train.optimizer import make_optimizer
 from fastspeech2_tpu.train.step import (
@@ -47,6 +53,36 @@ def _jit_cached(key, fn):
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(fn)
     return _JIT_CACHE[key]
+
+
+# preemption-safe training: with SIGTERM/SIGINT caught, the loop finishes the
+# in-flight step, checkpoints, and exits cleanly instead of losing up to
+# save_interval steps (the reference loses them, SURVEY.md 5: "a crash loses
+# up to save_interval=1000 steps"). Cloud TPU preemptions deliver SIGTERM.
+_PREEMPT_SYNC_STEPS = 10  # multi-host flag-agreement cadence (one collective)
+
+
+@contextlib.contextmanager
+def _preemption_guard(flag: dict):
+    """Install SIGTERM/SIGINT handlers setting ``flag['hit']``; restore the
+    previous handlers on exit. No-op off the main thread (tests, servers)."""
+
+    def _on_signal(signum, frame):
+        flag["hit"] = True
+        log.warning("signal %d received; checkpointing at the next step "
+                    "boundary then exiting", signum)
+
+    prev = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # not in the main thread: leave handlers alone
+            pass
+    try:
+        yield
+    finally:
+        for sig, h in prev.items():
+            signal.signal(sig, h)
 
 
 def evaluate_predictors(model: FastSpeech2, ts: TrainState,
@@ -145,7 +181,26 @@ def train(cfg: Config, name: str, outdir: str,
 
     With ``profile_dir``, a jax.profiler trace of ``profile_steps`` steps is
     captured once the step function is warm (the reference has no profiler at
-    all -- SURVEY.md 5)."""
+    all -- SURVEY.md 5).
+
+    Preemption-safe: SIGTERM/SIGINT during setup OR the loop checkpoints the
+    in-flight state at the next step boundary and returns. The guard wraps the
+    whole function, not just the loop -- setup (init + first-step compile) can
+    take tens of seconds, and a preemption notice landing there must not kill
+    the process uncheckpointed."""
+    preempt = {"hit": False}
+    with _preemption_guard(preempt):
+        return _train(cfg, name, outdir, resume_path, max_steps, data_dir,
+                      profile_dir, profile_steps, preempt)
+
+
+def _train(cfg: Config, name: str, outdir: str,
+           resume_path: Optional[str],
+           max_steps: Optional[int],
+           data_dir: Optional[str],
+           profile_dir: Optional[str],
+           profile_steps: int,
+           preempt: dict) -> TrainState:
     host_id = jax.process_index()
     num_hosts = jax.process_count()
     is_host0 = host_id == 0
@@ -273,6 +328,35 @@ def train(cfg: Config, name: str, outdir: str,
                     profiling["active"] = False
                     log.info("profiler trace captured")
 
+                # preemption exit: single-host checks the local flag every
+                # step; multi-host agrees via an allgather every
+                # _PREEMPT_SYNC_STEPS steps (all hosts hit the collective at
+                # the same aligned step, so the subsequent gather_to_host
+                # collective can't deadlock)
+                stop = preempt["hit"]
+                if num_hosts > 1:
+                    if step % _PREEMPT_SYNC_STEPS != 0:
+                        stop = False
+                    else:
+                        from jax.experimental import multihost_utils
+
+                        stop = bool(np.any(multihost_utils.process_allgather(
+                            np.asarray(preempt["hit"]))))
+                if stop:
+                    if num_hosts > 1:
+                        from fastspeech2_tpu.parallel.mesh import gather_to_host
+
+                        ts_save = TrainState(*gather_to_host(tuple(ts), mesh))
+                    else:
+                        ts_save = ts
+                    if is_host0:
+                        path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
+                        save_checkpoint(path, ts_save.params,
+                                        ts_save.model_state, ts_save.opt_state,
+                                        step, cfg)
+                        log.warning("preempted at step %d: saved %s", step, path)
+                    return ts
+
                 if is_host0 and step % cfg.train.summary_interval == 0:
                     scalars = {k: float(v) for k, v in report.items()}
                     scalars.update(tput.report())
@@ -324,6 +408,7 @@ def train(cfg: Config, name: str, outdir: str,
                     path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
                     save_checkpoint(path, ts_local.params, ts_local.model_state,
                                     ts_local.opt_state, step, cfg)
+                    prune_checkpoints(ckpt_dir, cfg.train.keep_ckpts)
                     ev = evaluate_predictors(model, ts_local, valid_ds)
                     metrics.scalars(step, ev, prefix="evaluation")
                     log.info("saved %s", path)
@@ -340,6 +425,7 @@ def train(cfg: Config, name: str, outdir: str,
                             os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz"),
                             final.params, final.model_state, final.opt_state,
                             step, cfg)
+                        prune_checkpoints(ckpt_dir, cfg.train.keep_ckpts)
                     return ts
             log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
             if epoch + 1 >= cfg.train.epochs:

@@ -237,6 +237,30 @@ def test_cli_evaluate_without_config(small_model, tmp_path, capsys):
         assert np.isfinite(out[k]), out
 
 
+def test_compile_cache_flag(tmp_path):
+    """--compile_cache points JAX's persistent compilation cache at the given
+    dir so compiled programs survive process restarts."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.cli import setup_compile_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        cache = str(tmp_path / "xla_cache")
+        setup_compile_cache(cache)
+        assert jax.config.jax_compilation_cache_dir == os.path.abspath(cache)
+        # a fresh jit writes a cache entry
+        jax.jit(lambda x: x * 2.17 + 1)(jnp.ones((8,)))
+        assert os.listdir(cache), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
+
+
 def test_shipped_configs_load_and_match_defaults():
     """configs/*.yaml must stay in sync with the config dataclasses.
 

@@ -126,6 +126,90 @@ def test_checkpoint_roundtrip(setup, tmp_path):
                  ts.opt_state, o2)
 
 
+def test_remat_step_matches_plain(setup):
+    """cfg.train.remat (jax.checkpoint per FFT block) must not change the
+    numbers: same rng schedule, identical updated params."""
+    import dataclasses
+
+    cfg, model, opt, ts = setup
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat=True))
+    model_r = FastSpeech2(cfg_r)
+
+    batch = tiny_batch(seed=7)
+    rng = jax.random.PRNGKey(11)
+    plain = jax.jit(make_train_step(model, opt, accum_grad=2))
+    remat = jax.jit(make_train_step(model_r, opt, accum_grad=2))
+    ts_a, rep_a = plain(ts, batch, rng)
+    ts_b, rep_b = remat(TrainState(*jax.tree.map(jnp.copy, tuple(ts))), batch, rng)
+    np.testing.assert_allclose(float(rep_a["loss"]), float(rep_b["loss"]),
+                               rtol=1e-6)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts_a.params, ts_b.params)
+    # recompute can reassociate reductions at float eps; Adam amplifies it
+    assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_prune_checkpoints(setup, tmp_path):
+    from fastspeech2_tpu.train.checkpoint import prune_checkpoints
+
+    for s in (100, 200, 300, 400):
+        open(os.path.join(tmp_path, f"ckpt_{s:08d}.npz"), "wb").close()
+    open(os.path.join(tmp_path, "other_file.npz"), "wb").close()
+    prune_checkpoints(str(tmp_path), keep=0)  # keep-all default
+    assert len([f for f in os.listdir(tmp_path) if f.startswith("ckpt_")]) == 4
+    prune_checkpoints(str(tmp_path), keep=2)
+    kept = sorted(f for f in os.listdir(tmp_path) if f.startswith("ckpt_"))
+    assert kept == ["ckpt_00000300.npz", "ckpt_00000400.npz"]
+    assert os.path.exists(os.path.join(tmp_path, "other_file.npz"))
+
+
+def test_preemption_saves_checkpoint_and_exits(tmp_path):
+    """SIGTERM mid-training (Cloud TPU preemption) checkpoints the in-flight
+    state at the next step boundary and returns, instead of dying between
+    save_intervals like the reference."""
+    import dataclasses
+    import signal
+    import threading
+
+    from fastspeech2_tpu.config import DataConfig
+    from fastspeech2_tpu.data.dataset import write_fake_feature_store
+    from fastspeech2_tpu.train.loop import train
+
+    root = str(tmp_path / "store")
+    filelist = write_fake_feature_store(root, n_utts=8, seed=4)
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(data_dir=root, train_filelist=filelist,
+                        valid_filelist=filelist),
+        train=dataclasses.replace(cfg.train, accum_grad=1, batch_size=2,
+                                  save_interval=10 ** 6,
+                                  validation_step=10 ** 6,
+                                  summary_interval=10 ** 6, epochs=10 ** 6))
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    # deliver SIGTERM to this process shortly after training starts; the
+    # handler runs in the main thread where train() is looping
+    timer = threading.Timer(3.0, signal.raise_signal, [signal.SIGTERM])
+    timer.start()
+    try:
+        ts = train(cfg, "preempt", str(tmp_path / "out"),
+                   max_steps=10 ** 6, data_dir=root)
+    finally:
+        timer.cancel()
+    assert int(jax.device_get(ts.step)) >= 1
+    ckpt_dir = os.path.join(tmp_path, "out", "checkpoints", "preempt")
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.startswith("ckpt_")]
+    assert ckpts, "preemption did not write a checkpoint"
+    # the saved step checkpoint is resumable
+    from fastspeech2_tpu.train.checkpoint import load_checkpoint_meta
+
+    meta = load_checkpoint_meta(os.path.join(ckpt_dir, sorted(ckpts)[-1]))
+    assert meta["step"] >= 1
+    # signal handlers were restored on exit
+    assert signal.getsignal(signal.SIGTERM) == prev_handler
+
+
 def test_data_parallel_step_matches_single_device(setup):
     """The GSPMD-sharded step on the 8-device mesh must produce the same
     numbers as the unsharded step."""
