@@ -183,3 +183,56 @@ def test_two_process_train_loop(tmp_path):
     assert ckpts, "host 0 wrote no checkpoint"
     assert os.path.exists(tmp_path / "out" / "logs" / "mh" /
                           "train_metrics.jsonl")
+
+
+PREEMPT_WORKER = r"""
+import json, os, signal, sys, threading
+pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+import numpy as np
+from fastspeech2_tpu.parallel.mesh import initialize_multihost
+initialize_multihost(f"localhost:{port}", num_processes=2, process_id=pid)
+
+from fastspeech2_tpu.config import Config, DataConfig
+from fastspeech2_tpu.data.dataset import write_fake_feature_store
+from fastspeech2_tpu.train.loop import train
+from test_train import tiny_config
+
+store = os.path.join(root, f"pstore{pid}")
+filelist = write_fake_feature_store(store, n_utts=32, seed=3)
+base = tiny_config()
+cfg = Config(model=base.model, train=base.train,
+             data=DataConfig(data_dir=store, train_filelist=filelist,
+                             valid_filelist=filelist))
+import dataclasses
+# intervals far beyond reach: ONLY the preemption path can write a checkpoint
+cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+    cfg.train, validation_step=10**6, save_interval=10**6,
+    summary_interval=10**6, epochs=10**6))
+if pid == 1:
+    # preempt the NON-host-0 process: the allgather agreement must still stop
+    # BOTH processes and have host 0 write the checkpoint
+    threading.Timer(5.0, signal.raise_signal, [signal.SIGTERM]).start()
+ts = train(cfg, "pre", os.path.join(root, "out"), max_steps=10**6,
+           data_dir=store)
+json.dump({"step": int(jax.device_get(ts.step))},
+          open(os.path.join(root, f"pre{pid}.json"), "w"))
+print(f"proc {pid} preempt ok", flush=True)
+"""
+
+
+def test_two_process_preemption(tmp_path):
+    """SIGTERM on ONE host mid-training: the periodic cross-host flag
+    allgather must stop both processes at the same step, host 0 must write
+    the preemption checkpoint, and both workers must exit cleanly."""
+    script = tmp_path / "preempt_worker.py"
+    script.write_text(PREEMPT_WORKER)
+    _run_cluster(script, [str(tmp_path)], tmp_path)
+    steps = [json.load(open(tmp_path / f"pre{pid}.json"))["step"]
+             for pid in (0, 1)]
+    assert steps[0] == steps[1] >= 1, steps
+    ckpts = os.listdir(tmp_path / "out" / "checkpoints" / "pre")
+    assert ckpts, "host 0 wrote no preemption checkpoint"
+    assert ckpts == [f"ckpt_{steps[0]:08d}.npz"], (ckpts, steps)
