@@ -79,6 +79,54 @@ def save_checkpoint(path: str, params, model_state, opt_state, step: int,
         raise
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization + disk IO with training.
+
+    ``save()`` snapshots the pytrees to host memory synchronously (mandatory:
+    the jitted train step donates its input buffers, so device values must be
+    pulled before the next step invalidates them) and hands the npz write +
+    atomic rename + retention pruning to a background thread. The reference
+    blocks the loop on ``torch.save`` every save_interval
+    (``train_fastspeech.py:229-244``); here the loop only pays the
+    device->host transfer.
+
+    One write in flight at a time: a new ``save()`` first joins the previous
+    write (checkpoint intervals are long; an unbounded queue could otherwise
+    hold many full model copies). Writer errors re-raise at the next
+    ``save()``/``wait()``.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread: Optional[object] = None
+        self._err: list = []
+
+    def save(self, path: str, params, model_state, opt_state, step: int,
+             cfg: Config) -> None:
+        self.wait()
+        host = jax.device_get((params, model_state, opt_state))
+
+        def _write():
+            try:
+                save_checkpoint(path, *host, step, cfg)
+                prune_checkpoints(os.path.dirname(path), cfg.train.keep_ckpts)
+            except BaseException as e:
+                self._err.append(e)
+
+        self._thread = self._threading.Thread(target=_write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Join the in-flight write; re-raise its error, if any."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err:
+            raise self._err.pop(0)
+
+
 def load_checkpoint(
     path: str, params_template, state_template, opt_template=None,
 ) -> Tuple[Any, Any, Any, int, Config]:

@@ -26,6 +26,7 @@ from fastspeech2_tpu.data.dataset import TTSDataset
 from fastspeech2_tpu.data.prefetch import prefetch
 from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
 from fastspeech2_tpu.train.checkpoint import (
+    AsyncCheckpointer,
     load_checkpoint,
     prune_checkpoints,
     save_checkpoint,
@@ -281,6 +282,7 @@ def _train(cfg: Config, name: str, outdir: str,
         host_id=host_id, num_hosts=num_hosts)
 
     ckpt_dir = os.path.join(outdir, "checkpoints", name)
+    ckpt_writer = AsyncCheckpointer()  # periodic saves overlap the loop
     metrics = MetricsWriter(os.path.join(outdir, "logs", name)) if is_host0 else None
     tput = Throughput(cfg.audio.hop_length, cfg.audio.sample_rate)
     rng = jax.random.PRNGKey(cfg.train.seed + host_id)
@@ -350,6 +352,7 @@ def _train(cfg: Config, name: str, outdir: str,
                     else:
                         ts_save = ts
                     if is_host0:
+                        ckpt_writer.wait()  # don't race the periodic writer
                         path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
                         save_checkpoint(path, ts_save.params,
                                         ts_save.model_state, ts_save.opt_state,
@@ -406,12 +409,14 @@ def _train(cfg: Config, name: str, outdir: str,
 
                 if do_save and is_host0:
                     path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
-                    save_checkpoint(path, ts_local.params, ts_local.model_state,
-                                    ts_local.opt_state, step, cfg)
-                    prune_checkpoints(ckpt_dir, cfg.train.keep_ckpts)
+                    # async: snapshot to host now, npz write + retention prune
+                    # on the writer thread while the loop keeps stepping
+                    ckpt_writer.save(path, ts_local.params,
+                                     ts_local.model_state, ts_local.opt_state,
+                                     step, cfg)
                     ev = evaluate_predictors(model, ts_local, valid_ds)
                     metrics.scalars(step, ev, prefix="evaluation")
-                    log.info("saved %s", path)
+                    log.info("saving %s (async)", path)
 
                 if max_steps is not None and step - step0 >= max_steps:
                     if num_hosts > 1:
@@ -421,6 +426,10 @@ def _train(cfg: Config, name: str, outdir: str,
                     else:
                         final = ts
                     if is_host0:
+                        # sync final save: wait for any in-flight async write
+                        # (same path when max_steps lands on save_interval),
+                        # then write + prune on this thread before returning
+                        ckpt_writer.wait()
                         save_checkpoint(
                             os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz"),
                             final.params, final.model_state, final.opt_state,
@@ -429,4 +438,6 @@ def _train(cfg: Config, name: str, outdir: str,
                     return ts
             log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
             if epoch + 1 >= cfg.train.epochs:
+                if is_host0:
+                    ckpt_writer.wait()
                 return ts

@@ -126,6 +126,38 @@ def test_checkpoint_roundtrip(setup, tmp_path):
                  ts.opt_state, o2)
 
 
+def test_async_checkpointer_roundtrip_and_prune(setup, tmp_path):
+    """AsyncCheckpointer writes the same resumable artifact as the sync path,
+    prunes retention on the writer thread, and surfaces writer errors."""
+    from fastspeech2_tpu.train.checkpoint import AsyncCheckpointer
+
+    cfg, model, opt, ts = setup
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, keep_ckpts=2))
+    w = AsyncCheckpointer()
+    for step in (100, 200, 300):
+        w.save(os.path.join(tmp_path, f"ckpt_{step:08d}.npz"),
+               ts.params, ts.model_state, ts.opt_state, step, cfg)
+    w.wait()
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["ckpt_00000200.npz", "ckpt_00000300.npz"]
+    p2, s2, o2, step, cfg2 = load_checkpoint(
+        os.path.join(tmp_path, names[-1]), ts.params, ts.model_state,
+        ts.opt_state)
+    assert step == 300 and cfg2.train.keep_ckpts == 2
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 ts.params, p2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 ts.opt_state, o2)
+
+    bad = os.path.join(tmp_path, "taken")
+    os.makedirs(os.path.join(bad, "occupant"))  # rename onto non-empty dir
+    w.save(bad, ts.params, ts.model_state, ts.opt_state, 1, cfg)
+    with pytest.raises(OSError):
+        w.wait()
+
+
 def test_remat_step_matches_plain(setup):
     """cfg.train.remat (jax.checkpoint per FFT block) must not change the
     numbers: same rng schedule, identical updated params."""
