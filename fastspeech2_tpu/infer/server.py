@@ -131,7 +131,7 @@ class Batcher:
 
 
 def make_handler(batcher: Batcher, cfg, vocoder=None):
-    from fastspeech2_tpu.infer.synthesize import vocode
+    from fastspeech2_tpu.infer.synthesize import pcm16, vocode
     from fastspeech2_tpu.text import phonemes_to_sequence
     from fastspeech2_tpu.text.g2p import preprocess_text
 
@@ -177,7 +177,11 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 tokens = np.asarray(phonemes_to_sequence(phoneme_str), np.int32)
                 if tokens.size == 0:
                     raise ValueError("input produced no phonemes")
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, TypeError, AttributeError,
+                    json.JSONDecodeError) as e:
+                # TypeError/AttributeError: non-object JSON bodies ('123',
+                # '[1]') or non-numeric alpha (null, [1]) -- still a 400, not
+                # a dropped connection
                 self._json(400, {"error": str(e)})
                 return
 
@@ -199,7 +203,7 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                     wav16 = req.wav.astype("<i2", copy=False)
                 else:
                     wav = vocode(req.mel, cfg, vocoder=vocoder)
-                    wav16 = (np.clip(wav, -1, 1) * 32767).astype("<i2")
+                    wav16 = pcm16(wav, np).astype("<i2", copy=False)
                 body = _wav_bytes(wav16, cfg.audio.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")

@@ -106,6 +106,12 @@ def int8_conv1d(p: dict, x: Array, *, padding: str = "SAME",
     if padding != "SAME":
         raise NotImplementedError("int8 conv1d supports SAME padding only")
     k = p["q"].shape[0]
+    if k % 2 == 0:
+        # symmetric (k-1)//2 padding below assumes odd kernels (the model's
+        # FFN convs are k=9/k=1); even k would need (lo, hi) = ((k-1)//2,
+        # k//2) padding -- fail loudly instead of a shape error mid-trace
+        raise NotImplementedError(
+            f"int8 conv1d supports odd kernels only, got k={k}")
     xq, sx = dynamic_quantize(x)
     if k == 1:
         y = lax.dot_general(xq, p["q"][0], (((2,), (0,)), ((), ())),

@@ -115,7 +115,11 @@ class AsyncCheckpointer:
             except BaseException as e:
                 self._err.append(e)
 
-        self._thread = self._threading.Thread(target=_write, daemon=True)
+        # non-daemon: if an exception unwinds the training loop (or the
+        # process exits) with a write in flight, interpreter shutdown joins
+        # this thread so the atomic write+rename still completes instead of
+        # silently losing a checkpoint the log already announced
+        self._thread = self._threading.Thread(target=_write, daemon=False)
         self._thread.start()
 
     def wait(self) -> None:

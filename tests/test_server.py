@@ -101,7 +101,12 @@ def test_concurrent_requests_batch(server):
 
 
 def test_bad_requests(server):
-    for payload, want in (({}, 400), ({"format": "midi", "text": "x"}, 400)):
+    # non-object JSON bodies and non-numeric alpha must 400, not drop the
+    # connection (the handler catches TypeError/AttributeError too)
+    for payload, want in (({}, 400), ({"format": "midi", "text": "x"}, 400),
+                          (123, 400), ([1, 2], 400),
+                          ({"text": "x", "alpha": None}, 400),
+                          ({"text": "x", "alpha": [1]}, 400)):
         req = urllib.request.Request(
             server + "/synthesize", data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
