@@ -89,18 +89,24 @@ class Synthesizer:
         self._voc_fn = None
         self._voc_fn_hop = 256
 
+    def _compute_ctx(self):
+        """(compute dtype, matmul-precision context factory) — the single
+        source of numerics config for the mel and fused-wav jit builders."""
+        dt = jnp.bfloat16 if self.bf16 else None
+
+        def _prec():
+            return (jax.default_matmul_precision(self.matmul_precision)
+                    if self.matmul_precision != "default"
+                    else contextlib.nullcontext())
+
+        return dt, _prec
+
     def _fn(self, t_pad: int, l_pad: int):
         key = (t_pad, l_pad)
         if key not in self._jitted:
             from fastspeech2_tpu.ops.precision import compute_dtype
-            import jax.numpy as _jnp
 
-            dt = _jnp.bfloat16 if self.bf16 else None
-
-            def _prec():
-                return (jax.default_matmul_precision(self.matmul_precision)
-                        if self.matmul_precision != "default"
-                        else contextlib.nullcontext())
+            dt, _prec = self._compute_ctx()
 
             def infer(params, state, xs, ilens, alphas):
                 with compute_dtype(dt), _prec():
@@ -154,13 +160,8 @@ class Synthesizer:
         if key not in self._jitted_wav:
             from fastspeech2_tpu.ops.precision import compute_dtype
 
-            dt = jnp.bfloat16 if self.bf16 else None
+            dt, _prec = self._compute_ctx()
             gen = self._voc
-
-            def _prec():
-                return (jax.default_matmul_precision(self.matmul_precision)
-                        if self.matmul_precision != "default"
-                        else contextlib.nullcontext())
 
             def infer_wav(params, state, voc_params, xs, ilens, alphas):
                 with compute_dtype(dt), _prec():
@@ -175,7 +176,15 @@ class Synthesizer:
                 # the RIFF body.
                 wav = gen(voc_params, mel_floor_mask(mel, out_lens))
                 return mel, pcm16(wav), out_lens
-            self._jitted_wav[key] = jax.jit(infer_wav)
+            if self.mesh is not None:
+                from fastspeech2_tpu.parallel.mesh import shard_inference_fn
+
+                # same data-parallel layout as the mel path: model + vocoder
+                # params replicated, batch sharded over 'data'
+                self._jitted_wav[key] = shard_inference_fn(
+                    infer_wav, self.mesh, n_replicated=3)
+            else:
+                self._jitted_wav[key] = jax.jit(infer_wav)
         return self._jitted_wav[key]
 
     def _alphas(self, alpha, B: int, B_pad: int) -> Tuple[np.ndarray, float]:
@@ -225,19 +234,21 @@ class Synthesizer:
             return mel, wav16, out_lens * hop
         assert self._voc is not None, "attach_vocoder(_fn) first"
         B = len(token_seqs)
-        alphas, a_max = self._alphas(alpha, B, B)
+        B_pad = B if self.mesh is None else _round_up(
+            B, self.mesh.devices.size)
+        alphas, a_max = self._alphas(alpha, B, B_pad)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
         l_pad = self._l_pad(t_pad, a_max)
-        xs = np.zeros((B, t_pad), np.int32)
-        ilens = np.ones((B,), np.int32)
+        xs = np.zeros((B_pad, t_pad), np.int32)
+        ilens = np.ones((B_pad,), np.int32)
         for i, s in enumerate(token_seqs):
             xs[i, : len(s)] = s
             ilens[i] = len(s)
         mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
             self.params, self.state, self._voc_params,
             jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(alphas))
-        out_lens = np.asarray(out_lens)
-        return (np.asarray(mel), np.asarray(wav),
+        out_lens = np.asarray(out_lens)[:B]
+        return (np.asarray(mel)[:B], np.asarray(wav)[:B],
                 out_lens * self._voc.cfg.hop_length)
 
     def mel_from_token_batch(

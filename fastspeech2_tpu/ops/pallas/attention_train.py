@@ -75,17 +75,11 @@ def _keep_mask(seed, b, h, shape, rate):
     hash = lowbias32(idx ^ lowbias32(seed ^ golden*(b*1024 + h))) -- a pure
     function of position, so forward/backward agree bit-for-bit with no
     stored mask, and it lowers on every backend (unlike pltpu.prng_*)."""
+    from fastspeech2_tpu.ops.nn import _hash_mix as mix
+
     T0, T1 = shape
     idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(T1)
            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-
-    def mix(x):
-        x = x ^ (x >> 16)
-        x = x * np.uint32(0x7FEB352D)
-        x = x ^ (x >> 15)
-        x = x * np.uint32(0x846CA68B)
-        return x ^ (x >> 16)
-
     key = mix(seed.astype(jnp.uint32)
               ^ (np.uint32(0x9E3779B9)
                  * (b.astype(jnp.uint32) * np.uint32(1024)

@@ -70,9 +70,10 @@ def gather_to_host(tree, mesh: Mesh):
     return jax.tree.map(np.asarray, gathered)
 
 
-def shard_inference_fn(infer_fn, mesh: Mesh):
-    """Jit an inference fn (params, state, xs, ilens, alphas) -> outputs with
-    the batch axis sharded over 'data' and params replicated. The batch size
+def shard_inference_fn(infer_fn, mesh: Mesh, n_replicated: int = 2):
+    """Jit an inference fn (*replicated_args, xs, ilens, alphas) -> outputs
+    with the batch axis sharded over 'data' and the first ``n_replicated``
+    args (params/state/vocoder-params pytrees) replicated. The batch size
     must be a multiple of the mesh size; alphas is a per-row (B,) vector that
     shards with the batch (traced, so no recompile per speed value)."""
     if mesh.devices.size == 1:
@@ -84,6 +85,6 @@ def shard_inference_fn(infer_fn, mesh: Mesh):
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         infer_fn,
-        in_shardings=(repl, repl, data, data, data),
+        in_shardings=(repl,) * n_replicated + (data, data, data),
         out_shardings=data,
     )

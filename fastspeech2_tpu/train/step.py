@@ -99,8 +99,11 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
         updates, new_opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         report = jax.tree.map(jnp.mean, reports)
-        # the optimizer already reduced the global norm (train/optimizer.py)
-        report["grad_norm"] = new_opt_state["grad_norm"]
+        # the framework optimizer (train/optimizer.py) exposes the global
+        # grad norm in its dict-shaped state; a plain optax transform (also a
+        # legal `optimizer` argument) has tuple state and no norm to report
+        if isinstance(new_opt_state, dict) and "grad_norm" in new_opt_state:
+            report["grad_norm"] = new_opt_state["grad_norm"]
         new_ts = TrainState(new_params, new_model_state, new_opt_state, ts.step + 1)
         return new_ts, report
 

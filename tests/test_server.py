@@ -260,6 +260,20 @@ def test_fused_tts_matches_separate_path():
     np.testing.assert_allclose(wav_f.astype(np.int32),
                                wav_s16.astype(np.int32), atol=1)
 
+    # fused path honors the data-parallel mesh: batch pads to the mesh
+    # multiple (B=2 on 8 devices), results match the unsharded fused call
+    from fastspeech2_tpu.train.step import make_mesh
+
+    sharded = Synthesizer(model, params, state,
+                          mesh=make_mesh(len(jax.devices())))
+    sharded.attach_vocoder(gen, vparams)
+    mel_m2, wav_m2, lens_m2 = sharded.wav_from_token_batch(seqs)
+    assert mel_m2.shape[0] == len(seqs) and wav_m2.shape[0] == len(seqs)
+    np.testing.assert_array_equal(lens_m2, wav_lens)
+    np.testing.assert_allclose(mel_m2, mel_f, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(wav_m2.astype(np.int32),
+                               wav_f.astype(np.int32), atol=1)
+
 
 def test_serve_fused_tts(tmp_path):
     """Server with an attached (fused) vocoder: wav responses come from the
