@@ -1,21 +1,94 @@
-"""Benchmark: batched free-running inference throughput on one chip.
+"""Benchmark: serving + training throughput on one chip.
 
-Workload: the 10 LJSpeech valid_filelist utterances (real phoneme sequences)
-cycled to batch 32, full-size model (default config), duration-predictor bias
-pinned so random-init durations are realistic (~5-6 frames/token -- the same
-trick is applied to the reference torch baseline in BASELINE_MEASURED.json, so
-both sides synthesize comparable frame counts).
+Serving workload: the 10 LJSpeech valid_filelist utterances (real phoneme
+sequences) cycled to batch 32, full-size model (default config),
+duration-predictor bias pinned so random-init durations are realistic
+(~5-6 frames/token -- the same trick is applied to the reference torch
+baseline in BASELINE_MEASURED.json, so both sides synthesize comparable
+frame counts).
 
-Prints ONE JSON line: mel-frames/s/chip with vs_baseline = ratio over the
-reference PyTorch CPU implementation on identical inputs.
+Training workload: one full-size bf16 train step (B=16, T=128, L=896,
+forward+backward+clip+Noam update -- the exact shape of
+BASELINE_MEASURED.json's ``torch_cpu_train_step_s`` measurement).
+
+Prints ONE JSON line: serving mel-frames/s/chip with vs_baseline = ratio over
+the reference PyTorch CPU implementation on identical inputs; the training
+numbers ride in ``extra`` (train_step_ms, train_vs_baseline). ``--train``
+emits the training metric as its own single JSON line instead.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _baseline(key):
+    try:
+        with open("BASELINE_MEASURED.json") as f:
+            return json.load(f).get(key, 0.0)
+    except Exception:
+        return 0.0
+
+
+def bench_train():
+    """Full-size train-step timing; returns (step_ms, vs_baseline, extra)."""
+    from fastspeech2_tpu.config import Config
+    from fastspeech2_tpu.models.fastspeech2 import Batch, FastSpeech2
+    from fastspeech2_tpu.train.optimizer import make_optimizer
+    from fastspeech2_tpu.train.step import TrainState, make_train_step
+
+    cfg = Config()
+    bf16 = jax.default_backend() == "tpu"
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    ts = TrainState(params, state, opt_state, jnp.int32(0))
+
+    B, T, L = 16, 128, 896
+    g = np.random.default_rng(0)
+    ilens = np.full((B,), T, np.int32)
+    olens = np.full((B,), L, np.int32)
+    xs = g.integers(1, 68, (B, T)).astype(np.int32)
+    ds = np.full((B, T), L // T, np.int32)  # sums exactly to L per row
+    ys = g.normal(size=(B, L, 80)).astype(np.float32)
+    es = g.uniform(0.0, 130.0, (B, L)).astype(np.float32)
+    ps = g.uniform(71.0, 676.0, (B, L)).astype(np.float32)
+    batch = Batch(xs=jnp.asarray(xs), ilens=jnp.asarray(ilens),
+                  ys=jnp.asarray(ys), olens=jnp.asarray(olens),
+                  ds=jnp.asarray(ds), es=jnp.asarray(es), ps=jnp.asarray(ps))
+
+    step_fn = jax.jit(make_train_step(model, optimizer, accum_grad=1, bf16=bf16))
+    # pre-split keys: a fold_in inside the timing loop would add a separate
+    # tiny dispatch per step (measured +60 ms/step over the axon tunnel)
+    rngs = list(jax.random.split(jax.random.PRNGKey(1), 21))
+    ts, report = step_fn(ts, batch, rngs[0])  # compile + warmup
+    float(np.asarray(report["loss"]))
+
+    reps = 20
+    t0 = time.perf_counter()
+    for i in range(reps):
+        ts, report = step_fn(ts, batch, rngs[i + 1])
+    # force the final result: loss_i depends on ts_{i-1}, so pulling the last
+    # scalar to the host serializes the whole chain. block_until_ready alone
+    # can return EARLY on tunneled backends (verify skill: a 42 ms step once
+    # "measured" 2.9 ms that way).
+    final_loss = float(np.asarray(report["loss"]))
+    step_ms = (time.perf_counter() - t0) / reps * 1000.0
+
+    base_s = _baseline("torch_cpu_train_step_s")
+    vs = (base_s * 1000.0) / step_ms if base_s else 0.0
+    frames_per_s = B * L / (step_ms / 1000.0)
+    return step_ms, vs, {
+        "train_mel_frames_per_s": round(frames_per_s, 1),
+        "train_shape": f"B{B}xT{T}xL{L}",
+        "bf16": bf16,
+        "final_loss": round(final_loss, 4),
+    }
 
 
 def main():
@@ -72,13 +145,10 @@ def main():
     fps = frames_per_call * reps / dt
     audio_sps = fps * cfg.audio.hop_length / cfg.audio.sample_rate
 
-    baseline_fps = 0.0
-    try:
-        with open("BASELINE_MEASURED.json") as f:
-            baseline_fps = json.load(f)["torch_cpu_mel_frames_per_s"]
-    except Exception:
-        pass
+    baseline_fps = _baseline("torch_cpu_mel_frames_per_s")
     vs = fps / baseline_fps if baseline_fps else 0.0
+
+    train_ms, train_vs, train_extra = bench_train()
 
     print(json.dumps({
         "metric": "inference_mel_frames_per_s_per_chip_b32",
@@ -90,9 +160,22 @@ def main():
             "frames_per_call": frames_per_call,
             "platform": str(jax.devices()[0].platform),
             "device": str(jax.devices()[0].device_kind),
+            "train_step_ms": round(train_ms, 2),
+            "train_vs_baseline": round(train_vs, 1),
+            **train_extra,
         },
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv[1:]:
+        step_ms, vs, extra = bench_train()
+        print(json.dumps({
+            "metric": "train_step_ms_full_size_b16",
+            "value": round(step_ms, 2),
+            "unit": "ms/step",
+            "vs_baseline": round(vs, 1),
+            "extra": extra,
+        }))
+    else:
+        main()

@@ -103,10 +103,6 @@ class TTSDataset:
             pitch=pitch[:L].astype(np.float32),
         )
 
-    def lengths(self) -> np.ndarray:
-        """Token counts per utterance (cheap; for bucketing without IO)."""
-        return np.asarray([len(e.phonemes) for e in self.entries])
-
     def token_lengths(self) -> np.ndarray:
         """EXACT token counts per utterance (cached; tokenization only, no
         feature IO). Unlike :meth:`lengths` this is correct for the grapheme

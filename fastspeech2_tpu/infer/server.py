@@ -160,6 +160,8 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
                 alpha = float(payload.get("alpha", 1.0))
                 # reject here: a bad alpha inside a shared micro-batch would
                 # otherwise fail every request batched with it
@@ -168,21 +170,39 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 fmt = payload.get("format", "mel")
                 if fmt not in ("mel", "wav"):
                     raise ValueError(f"format must be mel|wav, got {fmt!r}")
-                if payload.get("phonemes"):
-                    phoneme_str = payload["phonemes"]
-                elif payload.get("text"):
-                    phoneme_str = preprocess_text(payload["text"])
-                else:
+                phonemes = payload.get("phonemes")
+                text = payload.get("text")
+                if not phonemes and not text:
                     raise ValueError("body needs 'text' or 'phonemes'")
-                tokens = np.asarray(phonemes_to_sequence(phoneme_str), np.int32)
-                if tokens.size == 0:
-                    raise ValueError("input produced no phonemes")
-            except (ValueError, KeyError, TypeError, AttributeError,
-                    json.JSONDecodeError) as e:
-                # TypeError/AttributeError: non-object JSON bodies ('123',
-                # '[1]') or non-numeric alpha (null, [1]) -- still a 400, not
-                # a dropped connection
+                if phonemes is not None and not isinstance(phonemes, str):
+                    raise ValueError("'phonemes' must be a string")
+                if text is not None and not isinstance(text, str):
+                    raise ValueError("'text' must be a string")
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                # TypeError: non-numeric alpha (null, [1]) -- still a 400,
+                # not a dropped connection. The try spans only payload
+                # parsing/validation: a frontend bug must be a 500, not be
+                # misreported as a client error.
                 self._json(400, {"error": str(e)})
+                return
+
+            if phonemes:
+                try:
+                    tokens = np.asarray(phonemes_to_sequence(phonemes),
+                                        np.int32)
+                except Exception as e:  # unknown symbols = client input error
+                    self._json(400, {"error": f"bad phonemes: {e}"})
+                    return
+            else:
+                try:  # any string should g2p: failures here are server bugs
+                    tokens = np.asarray(
+                        phonemes_to_sequence(preprocess_text(text)), np.int32)
+                except Exception:
+                    log.exception("text frontend failed on %r", text[:200])
+                    self._json(500, {"error": "internal frontend error"})
+                    return
+            if tokens.size == 0:
+                self._json(400, {"error": "input produced no phonemes"})
                 return
 
             t0 = time.perf_counter()

@@ -170,6 +170,15 @@ class FastSpeech2:
         if self.postnet_cfg is not None:
             params["postnet"], state["postnet"] = init_postnet(
                 keys[8], self.postnet_cfg, dtype)
+        if m.transformer_init != "pytorch":
+            # xavier/kaiming variants + the reference's Embedding/LayerNorm
+            # reset and BatchNorm-zero quirk (reference core/modules.py:51-81,
+            # applied via _reset_parameters, fastspeech.py:378-387). The
+            # scaled-PE alphas were set above and stay untouched.
+            from fastspeech2_tpu.models.init import apply_transformer_init
+
+            params = apply_transformer_init(
+                jax.random.fold_in(key, 0x1217), params, m.transformer_init)
         return params, state
 
     # -- shared trunk --------------------------------------------------------
@@ -282,19 +291,44 @@ class FastSpeech2:
 
     def _loss(self, before, after, d_outs, e_outs, p_outs, batch: Batch,
               tok_mask, mel_mask) -> Tuple[Array, Dict[str, Array]]:
-        """Masked losses == reference masked_select + mean (fastspeech.py:281-324)."""
-        f = jnp.float32
-        mel_m3 = mel_mask[..., None].astype(f)
-        n_mel = jnp.maximum(jnp.sum(mel_m3), 1.0) * self.odim  # selected elements
-        before_loss = jnp.sum(jnp.abs(before - batch.ys) * mel_m3) / n_mel
-        after_loss = jnp.sum(jnp.abs(after - batch.ys) * mel_m3) / n_mel
-        l1_loss = before_loss + after_loss
+        """Masked losses == reference masked_select + mean (fastspeech.py:281-324).
 
+        ``use_weighted_masking`` applies the reference's *intended* weighted
+        path (fastspeech.py:308-322) corrected to work: that code computes
+        per-sequence weights ``mask / mask.sum(dim=1) / (B * odim)`` but then
+        multiplies them onto already-``masked_select``-flattened scalars, which
+        crashes. Here the element-wise L1/MSE maps are weighted BEFORE
+        reduction, so every sequence contributes equally to l1/duration loss
+        regardless of its length (ESPnet's weighted-masking semantics, which
+        the reference code was transcribed from). Energy/pitch keep the plain
+        masked mean -- the reference's weighted branch never touches them.
+        """
+        f = jnp.float32
+        m = self.cfg.model
+        mel_m3 = mel_mask[..., None].astype(f)
         tok_m = tok_mask.astype(f)
-        n_tok = jnp.maximum(jnp.sum(tok_m), 1.0)
-        # duration loss in log domain vs log(d+1) (duration_predictor.py:133-151)
-        log_d = jnp.log(batch.ds.astype(f) + 1.0)
-        duration_loss = jnp.sum(jnp.square(d_outs - log_d) * tok_m) / n_tok
+        log_d = jnp.log(batch.ds.astype(f) + 1.0)  # duration_predictor.py:133-151
+
+        if m.use_weighted_masking:
+            B = before.shape[0]
+            # out_weights = mask / per-seq frames / (B * odim) (fastspeech.py:310-311)
+            frames = jnp.maximum(jnp.sum(mel_m3, axis=1, keepdims=True), 1.0)
+            out_w = mel_m3 / frames / (B * self.odim)
+            before_loss = jnp.sum(jnp.abs(before - batch.ys) * out_w)
+            after_loss = jnp.sum(jnp.abs(after - batch.ys) * out_w)
+            l1_loss = before_loss + after_loss
+            # duration_weights = mask / per-seq tokens / B (fastspeech.py:312-316)
+            toks = jnp.maximum(jnp.sum(tok_m, axis=1, keepdims=True), 1.0)
+            dur_w = tok_m / toks / B
+            duration_loss = jnp.sum(jnp.square(d_outs - log_d) * dur_w)
+        else:
+            n_mel = jnp.maximum(jnp.sum(mel_m3), 1.0) * self.odim  # selected elements
+            before_loss = jnp.sum(jnp.abs(before - batch.ys) * mel_m3) / n_mel
+            after_loss = jnp.sum(jnp.abs(after - batch.ys) * mel_m3) / n_mel
+            l1_loss = before_loss + after_loss
+
+            n_tok = jnp.maximum(jnp.sum(tok_m), 1.0)
+            duration_loss = jnp.sum(jnp.square(d_outs - log_d) * tok_m) / n_tok
 
         mel_m = mel_mask.astype(f)
         n_frames = jnp.maximum(jnp.sum(mel_m), 1.0)

@@ -13,6 +13,7 @@ which needs network-downloaded NLTK data. Here g2p is a pluggable backend:
 clean -> strip punctuation -> g2p -> map " "/","/"." to pau (``inference.py:84-98``).
 """
 
+import os
 from typing import List, Optional
 
 from fastspeech2_tpu.text.cleaners import english_cleaners, punctuation_removers
@@ -78,36 +79,130 @@ def letter_to_sound(word: str) -> List[str]:
     return phones
 
 
-class LexiconG2p:
-    """Lexicon lookup with rule-based letter-to-sound for misses.
+# final-phone classes driving English suffix voicing (stress digits stripped)
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH"}
 
-    Enough to drive smoke tests and demos hermetically. Serving deployments
-    should install ``g2p_en`` or supply a full lexicon file
-    (one ``word phone phone ...`` entry per line, CMUdict format).
+
+def _base_phone(phones: List[str]) -> str:
+    return phones[-1].rstrip("012") if phones else ""
+
+
+def _plural_suffix(phones: List[str]) -> List[str]:
+    last = _base_phone(phones)
+    if last in _SIBILANT:
+        return ["IH0", "Z"]
+    return ["S"] if last in _VOICELESS else ["Z"]
+
+
+def _past_suffix(phones: List[str]) -> List[str]:
+    last = _base_phone(phones)
+    if last in ("T", "D"):
+        return ["IH0", "D"]
+    return ["T"] if last in _VOICELESS else ["D"]
+
+
+class LexiconG2p:
+    """Bundled-lexicon lookup + morphological derivation + rule LTS for misses.
+
+    The base lexicon ships in-repo (``text/data/lexicon.txt``, CMUdict format,
+    ~1.5k curated base forms); inflected forms -- possessives, plurals,
+    3rd-person -s, -ed, -ing, -ly, -er/-est, -ness, -ful -- are derived from
+    base entries with standard English voicing rules, so effective coverage is
+    several times the entry count. Only then does the greedy letter-to-sound
+    fallback fire (tracked in ``lts_count`` so coverage is measurable).
+    Serving deployments wanting neural-OOV quality install ``g2p_en``
+    (used automatically when importable) or pass a full CMUdict file.
     """
 
-    #: tiny built-in seed lexicon so demos work out of the box
-    _SEED = {
-        "the": "DH AH0", "a": "AH0", "an": "AE1 N", "and": "AH0 N D",
-        "this": "DH IH1 S", "is": "IH1 Z", "was": "W AA1 Z", "are": "AA1 R",
-        "to": "T UW1", "of": "AH1 V", "in": "IH1 N", "it": "IH1 T",
-        "for": "F AO1 R", "on": "AA1 N", "with": "W IH1 DH", "as": "AE1 Z",
-        "at": "AE1 T", "by": "B AY1", "from": "F R AH1 M", "or": "AO1 R",
-        "be": "B IY1", "not": "N AA1 T", "that": "DH AE1 T", "text": "T EH1 K S T",
-        "speech": "S P IY1 CH", "test": "T EH1 S T", "hello": "HH AH0 L OW1",
-        "world": "W ER1 L D", "printing": "P R IH1 N T IH0 NG",
-        "sentence": "S EH1 N T AH0 N S", "synthesis": "S IH1 N TH AH0 S IH0 S",
-        "model": "M AA1 D AH0 L", "fast": "F AE1 S T",
-    }
+    #: the in-repo lexicon, loaded unless the caller supplies their own
+    DEFAULT_LEXICON = os.path.join(os.path.dirname(__file__), "data",
+                                   "lexicon.txt")
 
     def __init__(self, lexicon_path: Optional[str] = None):
-        self.lexicon = dict(self._SEED)
-        if lexicon_path:
-            with open(lexicon_path, "r", encoding="utf-8") as f:
+        self.lexicon: dict = {}
+        self.lts_count = 0  # words that fell through to letter_to_sound
+        for path in filter(None, [self.DEFAULT_LEXICON, lexicon_path]):
+            if not os.path.exists(path):
+                continue
+            with open(path, "r", encoding="utf-8") as f:
                 for line in f:
                     parts = line.strip().split()
                     if len(parts) >= 2 and not parts[0].startswith(";"):
-                        self.lexicon.setdefault(parts[0].lower(), " ".join(parts[1:]))
+                        # later files (caller-supplied) override the bundle
+                        self.lexicon[parts[0].lower()] = " ".join(parts[1:])
+
+    def _base(self, key: str) -> Optional[List[str]]:
+        p = self.lexicon.get(key)
+        return p.split() if p else None
+
+    def lookup(self, key: str) -> Optional[List[str]]:
+        """Phones for a word via lexicon entry or morphological derivation;
+        None if only letter-to-sound could serve it."""
+        hit = self._base(key)
+        if hit:
+            return hit
+        # possessive / contraction clitics
+        if key.endswith("'s") or key.endswith("s'"):
+            stem = key[:-2] if key.endswith("'s") else key[:-1]
+            base = self.lookup(stem)
+            if base:
+                return base + _plural_suffix(base)
+        if "'" in key:
+            for clitic, phones in (("n't", ["AH0", "N", "T"]),
+                                   ("'ll", ["AH0", "L"]), ("'re", ["ER0"]),
+                                   ("'ve", ["AH0", "V"]), ("'d", ["D"]),
+                                   ("'m", ["M"])):
+                if key.endswith(clitic):
+                    base = self.lookup(key[: -len(clitic)])
+                    if base:
+                        return base + phones
+            return None
+        # inflectional suffixes, derived from base entries
+        if key.endswith("ies") and len(key) > 4:
+            base = self._base(key[:-3] + "y")
+            if base:
+                return base[:-1] + ["IY0", "Z"]  # -y -> -ies
+        if key.endswith("es") and len(key) > 3:
+            base = self._base(key[:-2])
+            if base and _base_phone(base) in _SIBILANT:
+                return base + ["IH0", "Z"]
+        if key.endswith("s") and not key.endswith("ss") and len(key) > 2:
+            base = self._base(key[:-1])
+            if base:
+                return base + _plural_suffix(base)
+        if key.endswith("ied") and len(key) > 4:
+            base = self._base(key[:-3] + "y")
+            if base:
+                return base[:-1] + ["IY0", "D"]
+        if key.endswith("ed") and len(key) > 3:
+            base = (self._base(key[:-2]) or self._base(key[:-1])  # want+ed / compose+d
+                    or (self._base(key[:-3]) if len(key) > 4
+                        and key[-3] == key[-4] else None))  # stopp-ed
+            if base:
+                return base + _past_suffix(base)
+        if key.endswith("ing") and len(key) > 4:
+            base = (self._base(key[:-3]) or self._base(key[:-3] + "e")
+                    or (self._base(key[:-4]) if len(key) > 5
+                        and key[-4] == key[-5] else None))
+            if base:
+                return base + ["IH0", "NG"]
+        for suffix, phones in (("ly", ["L", "IY0"]), ("ness", ["N", "AH0", "S"]),
+                               ("ful", ["F", "AH0", "L"]),
+                               ("ment", ["M", "AH0", "N", "T"])):
+            if key.endswith(suffix) and len(key) > len(suffix) + 1:
+                base = self._base(key[: -len(suffix)])
+                if base:
+                    return base + phones
+        if key.endswith("er") and len(key) > 3:
+            base = self._base(key[:-2]) or self._base(key[:-1])
+            if base:
+                return base + ["ER0"]
+        if key.endswith("est") and len(key) > 4:
+            base = self._base(key[:-3]) or self._base(key[:-2])
+            if base:
+                return base + ["AH0", "S", "T"]
+        return None
 
     def __call__(self, text: str) -> List[str]:
         phones: List[str] = []
@@ -118,9 +213,11 @@ class LexiconG2p:
             key = word.lower().strip(",.!?;:")
             if not key:
                 continue
-            if key in self.lexicon:
-                phones.extend(self.lexicon[key].split())
+            hit = self.lookup(key)
+            if hit is not None:
+                phones.extend(hit)
             else:
+                self.lts_count += 1
                 phones.extend(letter_to_sound(key))
             if word.endswith((",", ".")):
                 phones.append(word[-1])

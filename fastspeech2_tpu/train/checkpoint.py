@@ -11,6 +11,7 @@ reference inference.py:149-152).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import subprocess
 import tempfile
@@ -113,6 +114,11 @@ class AsyncCheckpointer:
                 save_checkpoint(path, *host, step, cfg)
                 prune_checkpoints(os.path.dirname(path), cfg.train.keep_ckpts)
             except BaseException as e:
+                # visible immediately -- the loop already logged "saving ...
+                # (async)" and won't call wait() again until the next save,
+                # which can be thousands of steps away
+                logging.getLogger(__name__).exception(
+                    "async checkpoint write to %s FAILED", path)
                 self._err.append(e)
 
         # non-daemon: if an exception unwinds the training loop (or the

@@ -63,6 +63,20 @@ def _jit_cached(key, fn):
 _PREEMPT_SYNC_STEPS = 10  # multi-host flag-agreement cadence (one collective)
 
 
+def _drain_writer(ckpt_writer) -> None:
+    """Join the async writer before a synchronous exit save, LOGGING a stale
+    error from an earlier failed periodic write instead of re-raising it --
+    otherwise a transient disk error thousands of steps ago would abort the
+    preemption/final checkpoint, the exact loss the exit save exists to
+    prevent. The sync save that follows raises on its own if the disk is
+    still bad."""
+    try:
+        ckpt_writer.wait()
+    except Exception:
+        log.exception("earlier async checkpoint write had failed; "
+                      "attempting the synchronous exit save anyway")
+
+
 @contextlib.contextmanager
 def _preemption_guard(flag: dict):
     """Install SIGTERM/SIGINT handlers setting ``flag['hit']``; restore the
@@ -154,6 +168,12 @@ def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg,
     mel, out_lens, _ = _jit_cached(("val_sample", id(model), T, L), _infer)(
         ts.params, ts.model_state, jnp.asarray(u.tokens[None]),
         jnp.asarray([T], jnp.int32))
+    if int(out_lens[0]) >= L:
+        # out_lens is clipped to the static buffer; an untrained or
+        # duration-exploding model would otherwise truncate silently
+        log.warning("validation sample filled its %d-frame buffer (target "
+                    "%d frames): predicted durations likely exploding, "
+                    "sample image/audio truncated", L, u.mel.shape[0])
     pred = np.asarray(mel)[0, : int(out_lens[0])].T
     metrics.image(step, "validation/mel_target",
                   plot_spectrogram_to_numpy(u.mel.T))
@@ -352,7 +372,7 @@ def _train(cfg: Config, name: str, outdir: str,
                     else:
                         ts_save = ts
                     if is_host0:
-                        ckpt_writer.wait()  # don't race the periodic writer
+                        _drain_writer(ckpt_writer)  # don't race the periodic writer
                         path = os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz")
                         save_checkpoint(path, ts_save.params,
                                         ts_save.model_state, ts_save.opt_state,
@@ -429,7 +449,7 @@ def _train(cfg: Config, name: str, outdir: str,
                         # sync final save: wait for any in-flight async write
                         # (same path when max_steps lands on save_interval),
                         # then write + prune on this thread before returning
-                        ckpt_writer.wait()
+                        _drain_writer(ckpt_writer)
                         save_checkpoint(
                             os.path.join(ckpt_dir, f"ckpt_{step:08d}.npz"),
                             final.params, final.model_state, final.opt_state,

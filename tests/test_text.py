@@ -117,3 +117,66 @@ def test_letter_to_sound_q_without_u():
 
     assert letter_to_sound("qatar")[0] == "K"
     assert "W" in letter_to_sound("quick")[:2]  # qu digraph still K W
+
+
+def test_bundled_lexicon_covers_valid_filelist_without_lts():
+    """The hermetic lexicon (text/data/lexicon.txt + morphology) resolves
+    >=95% of the LJSpeech valid-filelist raw-text words without the
+    letter-to-sound fallback (VERDICT round-1 item 4). The reference's
+    inference quality rides on g2p_en (inference.py:75,84-98); this bounds
+    the hermetic fallback's gap."""
+    import re
+
+    from fastspeech2_tpu.text.g2p import LexiconG2p
+
+    g = LexiconG2p()
+    words = set()
+    with open("/root/reference/filelists/valid_filelist.txt") as f:
+        for line in f:
+            for w in re.findall(r"[a-zA-Z']+", line.split("|")[0].lower()):
+                words.add(w)
+    assert len(words) > 100
+    misses = [w for w in sorted(words) if g.lookup(w) is None]
+    coverage = 1.0 - len(misses) / len(words)
+    assert coverage >= 0.95, f"lexicon coverage {coverage:.1%}; misses: {misses}"
+
+
+def test_bundled_lexicon_phones_all_in_vocabulary():
+    """Every lexicon phone maps into the 68-symbol vocabulary after the CMU
+    stress collapse -- no entry can emit an unencodable token."""
+    from fastspeech2_tpu.text.g2p import LexiconG2p
+    from fastspeech2_tpu.text.symbols import CMU_REMAPPING, valid_symbols
+
+    g = LexiconG2p()
+    assert len(g.lexicon) > 2000
+    vocab = set(valid_symbols)
+    for word, pron in g.lexicon.items():
+        for p in pron.split():
+            assert CMU_REMAPPING.get(p, p) in vocab, (word, p)
+
+
+def test_lexicon_morphological_derivation():
+    """Inflections derive from base entries with English voicing rules
+    (plural s/z/iz, past t/d/id, clitics), not letter-to-sound."""
+    from fastspeech2_tpu.text.g2p import LexiconG2p
+
+    g = LexiconG2p()
+    assert g.lookup("types") == g.lookup("type") + ["S"]        # voiceless -s
+    assert g.lookup("letters") == g.lookup("letter") + ["Z"]    # voiced -s
+    assert g.lookup("impressions")[-2:] == ["N", "Z"]           # nasal-final -s -> Z
+    assert g.lookup("processes")[-2:] == ["IH0", "Z"]           # sibilant -es
+    assert g.lookup("walked") == g.lookup("walk") + ["T"]       # voiceless -ed
+    assert g.lookup("engraved")[-1] == "D"                      # voiced -ed (magic-e base)
+    assert g.lookup("printed")[-2:] == ["IH0", "D"]             # t/d -ed
+    assert g.lookup("making") == g.lookup("make") + ["IH0", "NG"]
+    assert g.lookup("stopped") == g.lookup("stop") + ["T"]      # doubled consonant
+    assert g.lookup("king's") == g.lookup("king") + ["Z"]       # possessive
+    assert g.lookup("don't") == ["D", "OW1", "N", "T"]          # irregular contraction
+    assert g.lookup("centuries")[-2:] == ["IY0", "Z"]           # -y -> -ies
+    assert g.lookup("zyxwvut") is None                          # true OOV -> LTS
+
+    before = g.lts_count
+    g("the printed letters")  # all lexicon-served
+    assert g.lts_count == before
+    g("zyxwvut")
+    assert g.lts_count == before + 1
