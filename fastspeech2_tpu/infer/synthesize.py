@@ -57,8 +57,10 @@ class Synthesizer:
         self.model = model
         if int8:
             # W8A8 serving tier: encoder/decoder attention projections + FFN
-            # convs become int8 MXU matmuls (~2x bf16 rate on v5e); predictors,
-            # embeddings, postnet, feat_out stay high precision (ops/quant8.py)
+            # convs become int8 MXU matmuls; predictors, embeddings, postnet,
+            # feat_out stay high precision (ops/quant8.py). Measured on v5e:
+            # throughput parity with bf16 (1.00x, scripts/measure_int8.py) --
+            # use it to halve FFT-stack weight memory, not for speed.
             from fastspeech2_tpu.ops.quant8 import quantize_model_params
 
             params = jax.device_get(

@@ -191,13 +191,24 @@ def encoder_apply(
     d_k = cfg.attention_dim // cfg.attention_heads
     speed_path = (fused_attention and lengths is not None
                   and current_compute_dtype() == jnp.bfloat16)
-    fusable = speed_path and d_k >= 128
+    # tensor parallelism (parallel/sharding.tensor_parallel_attention
+    # context): the attention kernels run shard_mapped over the 'model' axis
+    # when tp divides the head count; otherwise fall back to XLA attention,
+    # which GSPMD partitions. The fused FFN/postnet kernels stay off under TP
+    # -- their weights are Megatron-sharded and XLA's convs were already at
+    # the MXU roofline (the Pallas FFN win is length-adaptive inference).
+    from fastspeech2_tpu.parallel.sharding import tp_degree
+
+    tp = tp_degree()
+    fusable = (speed_path and d_k >= 128
+               and (tp == 1 or cfg.attention_heads % tp == 0))
     use_fused = fusable and deterministic
     # the fused conv-FFN has no head-dim constraint, but it always applies
     # conv-mask (zeroed-past-length) semantics — engage it only when the
     # caller asked for those (exact-unpadded inference), never silently
     # replacing the reference's batched pad-leak eval semantics
-    use_fused_ffn = speed_path and deterministic and conv_mask is not None
+    use_fused_ffn = (speed_path and deterministic and conv_mask is not None
+                     and tp == 1)
     # training variant: custom-VJP kernel with in-kernel hash dropout; whole-T
     # per program, so only for T within its VMEM budget (attention_train.MAX_T)
     from fastspeech2_tpu.ops.pallas.attention_train import MAX_T

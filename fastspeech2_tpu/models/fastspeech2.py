@@ -212,12 +212,15 @@ class FastSpeech2:
             # conv_mask is not None: the fused kernel hardwires the
             # zeroed-past-length conv semantics (exact-unpadded inference);
             # eval-mode forward (conv_mask=None) keeps the XLA pad-leak path
+            from fastspeech2_tpu.parallel.sharding import tp_degree
+
             if (not training and lengths is not None
                     and conv_mask is not None
                     and self._use_fused_attention()
                     and current_compute_dtype() == jnp.bfloat16
                     and self.postnet_cfg.use_batch_norm
-                    and self.postnet_cfg.n_filts % 2 == 1):
+                    and self.postnet_cfg.n_filts % 2 == 1
+                    and tp_degree() == 1):
                 from fastspeech2_tpu.ops.pallas.postnet import (
                     postnet_fused_apply)
 

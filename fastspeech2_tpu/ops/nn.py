@@ -86,7 +86,10 @@ def linear(p, x: Array, *, out_dtype=None) -> Array:
     pass the compute dtype here so intermediates skip the f32 round-trip.
 
     Params quantized by ops/quant8.py ({"q","s"[, "b"]} instead of {"w"[, "b"]})
-    dispatch to the int8 MXU path -- W8A8 serving runs ~2x bf16 on v5e.
+    dispatch to the int8 MXU path. Measured end-to-end serving throughput on a
+    v5e is PARITY with bf16 (1.00x at the bench workload -- the serving step
+    is attention/bandwidth-bound, not matmul-peak-bound; scripts/measure_int8.py,
+    PARITY.md), so W8A8 is a weight-memory lever, not a speed tier.
     """
     if "q" in p:
         from fastspeech2_tpu.ops.quant8 import int8_linear

@@ -231,6 +231,36 @@ def fused_attention_packed(q: Array, k: Array, v: Array, lengths: Array,
     )(lengths.astype(jnp.int32), q, k, v)
 
 
+def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,
+                              n_heads: int, mesh, *,
+                              interpret: bool = False,
+                              block_q: int | None = None) -> Array:
+    """:func:`fused_attention_packed` under Megatron tensor parallelism: the
+    kernel runs inside a ``shard_map`` over the mesh's 'model' axis, each
+    shard computing its own whole heads (head-packed layout => the D shard
+    boundary IS a head boundary when tp | n_heads). GSPMD cannot partition a
+    custom call; the shard_map makes the partitioning explicit and
+    communication-free -- Q/K/V arrive 'model'-sharded from the Megatron
+    column-parallel projections and the output leaves 'model'-sharded into
+    the row-parallel output projection (parallel/sharding.py rules)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fastspeech2_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
+
+    tp = int(mesh.shape[MODEL_AXIS])
+    assert n_heads % tp == 0, (n_heads, tp)
+    spec = P(DATA_AXIS, None, MODEL_AXIS)
+
+    def inner(q, k, v, lens):
+        return fused_attention_packed(q, k, v, lens, n_heads // tp,
+                                      interpret=interpret, block_q=block_q)
+
+    return shard_map(inner, mesh=mesh,
+                     in_specs=(spec, spec, spec, P(DATA_AXIS)),
+                     out_specs=spec, check_rep=False)(q, k, v, lengths)
+
+
 def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
                     *, interpret: bool = False) -> Array:
     """Full MHA (QKV projections + fused kernel + output projection) for the
@@ -239,16 +269,25 @@ def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
 
     Under a bf16 compute dtype the projections emit bf16 so the kernel's QK
     and PV matmuls run at full MXU rate, with the softmax kept in f32
-    (flash-attention-style numerics)."""
+    (flash-attention-style numerics).
+
+    Under an active tensor_parallel_attention context (head-divisible tp) the
+    kernel is shard_mapped over the 'model' axis -- the projections stay
+    plain matmuls that GSPMD shards per the Megatron rules."""
     from fastspeech2_tpu.ops import nn
     from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import current_tp_mesh, tp_degree
 
     dt = current_compute_dtype() or x.dtype
 
     def proj(p):
         return nn.linear(p, x, out_dtype=dt)
 
-    o = fused_attention_packed(proj(params["q"]), proj(params["k"]),
-                               proj(params["v"]), lengths, n_heads,
-                               interpret=interpret)
+    q, k, v = proj(params["q"]), proj(params["k"]), proj(params["v"])
+    if tp_degree() > 1:
+        o = fused_attention_packed_tp(q, k, v, lengths, n_heads,
+                                      current_tp_mesh(), interpret=interpret)
+    else:
+        o = fused_attention_packed(q, k, v, lengths, n_heads,
+                                   interpret=interpret)
     return nn.linear(params["out"], o, out_dtype=x.dtype)

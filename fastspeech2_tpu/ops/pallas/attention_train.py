@@ -246,8 +246,45 @@ def mha_fused_train_apply(params, x: Array, lengths: Array, n_heads: int,
 
     seed = jax.random.randint(dropout_key, (1,), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
-    o = fused_attention_train(proj(params["q"]), proj(params["k"]),
-                              proj(params["v"]), lengths, seed, rate,
-                              interpret)
+    from fastspeech2_tpu.parallel.sharding import current_tp_mesh, tp_degree
+
+    if tp_degree() > 1:
+        o = fused_attention_train_tp(
+            proj(params["q"]), proj(params["k"]), proj(params["v"]),
+            lengths, seed, rate, current_tp_mesh(), interpret=interpret)
+    else:
+        o = fused_attention_train(proj(params["q"]), proj(params["k"]),
+                                  proj(params["v"]), lengths, seed, rate,
+                                  interpret)
     o = o.transpose(0, 2, 1, 3).reshape(B, T, D)
     return nn.linear(params["out"], o, out_dtype=x.dtype)
+
+
+def fused_attention_train_tp(q: Array, k: Array, v: Array, lengths: Array,
+                             seed: Array, rate: float, mesh, *,
+                             interpret: bool = False) -> Array:
+    """:func:`fused_attention_train` under tensor parallelism: shard_map over
+    the mesh's 'model' axis on the HEAD dim of the (B, H, T, dk) layout (the
+    reshape from the 'model'-sharded (B, T, D) projection output is local --
+    whole heads per shard when tp | n_heads). The per-shard dropout seed is
+    offset by the shard's axis index: the in-kernel hash mask is a function
+    of (seed, local b, local h, element), so two shards at the same local
+    coordinates would otherwise draw IDENTICAL masks. Differentiation flows
+    through shard_map into the kernel's custom VJP per shard."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from fastspeech2_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
+
+    tp = int(mesh.shape[MODEL_AXIS])
+    assert q.shape[1] % tp == 0, (q.shape, tp)
+    spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+
+    def inner(q, k, v, lens, seed):
+        idx = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32)
+        seed = seed + idx * jnp.int32(0x9E37)  # decorrelate shard masks
+        return fused_attention_train(q, k, v, lens, seed, rate, interpret)
+
+    return shard_map(inner, mesh=mesh,
+                     in_specs=(spec, spec, spec, P(DATA_AXIS), P()),
+                     out_specs=spec, check_rep=False)(q, k, v, lengths, seed)

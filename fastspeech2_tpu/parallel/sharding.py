@@ -77,6 +77,39 @@ def constrain_seq(x):
     return jax.lax.with_sharding_constraint(x, spec)
 
 
+_TP = threading.local()
+
+
+@contextmanager
+def tensor_parallel_attention(mesh: Optional[Mesh]):
+    """Trace-time context: the fused Pallas attention entry points
+    (ops/pallas/attention.py, attention_train.py) wrap their kernels in a
+    ``shard_map`` over this mesh's 'model' axis instead of emitting a plain
+    custom call GSPMD cannot partition. With head-aligned TP (tp | n_heads)
+    the head-packed (B, T, D) layout shards cleanly on D: each model shard
+    holds whole heads, so per-shard attention is exact with zero extra
+    communication (the psum stays where Megatron puts it -- in the output
+    projection's contraction). Same trace-time-context pattern as
+    sequence_sharding above."""
+    prev = getattr(_TP, "mesh", None)
+    _TP.mesh = mesh
+    try:
+        yield
+    finally:
+        _TP.mesh = prev
+
+
+def current_tp_mesh() -> Optional[Mesh]:
+    """The active tensor_parallel_attention mesh, or None."""
+    return getattr(_TP, "mesh", None)
+
+
+def tp_degree() -> int:
+    """'model'-axis size of the active TP-attention mesh (1 when inactive)."""
+    mesh = current_tp_mesh()
+    return int(mesh.shape[MODEL_AXIS]) if mesh is not None else 1
+
+
 def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
     """(dp, tp) mesh with axes ('data', 'model').
 
@@ -166,10 +199,11 @@ def shard_train_step_tp(train_step, mesh: Mesh, ts):
     Megatron rules, everything else replicated. ``ts`` is a concrete
     TrainState used only to derive the sharding pytree.
 
-    Note: the fused Pallas attention kernels are plain custom calls that GSPMD
-    cannot partition over 'model'; use the XLA attention path under TP
-    (cfg.model.fused_attention="off" -- the default config is "auto", which
-    resolves per-backend; TP training overrides it in train/loop.py).
+    Fused Pallas attention composes with TP when tp | n_heads: pass the mesh
+    as ``make_train_step(..., tp_mesh=mesh)`` and the kernels run inside a
+    shard_map over 'model' (tensor_parallel_attention above) instead of
+    emitting a custom call GSPMD cannot partition. Non-head-aligned tp falls
+    back to the XLA attention path (models/encoder.py gates it).
     """
     from fastspeech2_tpu.train.step import buffer_donation_is_cheap
 

@@ -234,14 +234,17 @@ def _train(cfg: Config, name: str, outdir: str,
 
     tp = max(1, cfg.train.tensor_parallel)
     if tp > 1:
-        import dataclasses
-
         from fastspeech2_tpu.parallel.sharding import check_tp_divisibility
 
         check_tp_divisibility(cfg, tp)
-        if cfg.model.fused_attention != "off":
-            # the fused Pallas attention is a custom call GSPMD can't
-            # partition over 'model'; TP uses the XLA attention path
+        if cfg.model.aheads % tp != 0 and cfg.model.fused_attention != "off":
+            import dataclasses
+
+            # non-head-aligned TP cannot shard_map the fused kernel (a head
+            # would straddle shards); encoder_apply also guards this, the
+            # explicit "off" just makes the config self-describing
+            log.info("tensor_parallel=%d does not divide aheads=%d: fused "
+                     "attention falls back to the XLA path", tp, cfg.model.aheads)
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, fused_attention="off"))
 
@@ -288,7 +291,8 @@ def _train(cfg: Config, name: str, outdir: str,
                             shard_pytree(ts.opt_state, mesh), ts.step)
         step_fn = shard_train_step_tp(
             make_train_step(model, opt, accum, bf16=cfg.train.bf16,
-                            sequence_parallel=cfg.train.sequence_parallel),
+                            sequence_parallel=cfg.train.sequence_parallel,
+                            tp_mesh=mesh),
             mesh, ts)
     else:
         mesh = make_mesh(dp)

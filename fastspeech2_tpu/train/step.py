@@ -33,7 +33,7 @@ class TrainState(NamedTuple):
 
 def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
                     accum_grad: int = 1, bf16: bool = False,
-                    sequence_parallel: bool = False):
+                    sequence_parallel: bool = False, tp_mesh=None):
     """Build the (unjitted) train step fn: (TrainState, Batch, rng) ->
     (TrainState, report-dict).
 
@@ -55,7 +55,7 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
     """
     from fastspeech2_tpu.ops.precision import compute_dtype
     from fastspeech2_tpu.parallel.sharding import (
-        DATA_AXIS, MODEL_AXIS, sequence_sharding)
+        DATA_AXIS, MODEL_AXIS, sequence_sharding, tensor_parallel_attention)
 
     # Megatron-SP: shard the (B, T, D) residual streams' time axis over the
     # TP axis between blocks (parallel/sharding.py:sequence_sharding). Only
@@ -63,8 +63,11 @@ def make_train_step(model: FastSpeech2, optimizer: optax.GradientTransformation,
     seq_spec = P(DATA_AXIS, MODEL_AXIS, None) if sequence_parallel else None
 
     def loss_fn(params, model_state, micro: Batch, rng):
+        # tp_mesh: fused Pallas attention shard_maps over its 'model' axis
+        # (head-divisible TP keeps the kernels; parallel/sharding.py)
         with compute_dtype(jnp.bfloat16 if bf16 else None), \
-                sequence_sharding(seq_spec):
+                sequence_sharding(seq_spec), \
+                tensor_parallel_attention(tp_mesh):
             loss, report, new_state = model.forward(
                 params, model_state, micro, rng=rng, training=True)
         return loss / accum_grad, (report, new_state)

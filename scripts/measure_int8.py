@@ -12,7 +12,11 @@ Results are recorded in PARITY.md; rerun with
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -40,24 +44,54 @@ def main():
     bench_batch = [seqs[i % len(seqs)][:128] for i in range(32)]
     parity_set = seqs[:SENTENCES]
 
-    tiers = {
-        "f32": dict(matmul_precision="highest"),
-        "bf16": dict(bf16=True),
-        "int8": dict(bf16=True, int8=True),
+    from fastspeech2_tpu.ops.precision import compute_dtype
+    from fastspeech2_tpu.ops.quant8 import quantize_model_params
+
+    params_q = jax.device_get(jax.jit(quantize_model_params)(params))
+
+    # device-resident throughput (bench.py methodology: inputs stay on
+    # device, block on the device result -- mel_from_token_batch would pull
+    # (32, L, 80) f32 to the host through the tunnel every rep and measure
+    # transfers, not compute)
+    B, T, L = 32, 128, 896
+    xs = np.zeros((B, T), np.int32)
+    ilens = np.zeros((B,), np.int32)
+    for i, s in enumerate(bench_batch):
+        xs[i, : len(s)] = s
+        ilens[i] = len(s)
+    xs, ilens = jnp.asarray(xs), jnp.asarray(ilens)
+
+    def make_infer(p, dt):
+        @jax.jit
+        def infer(xs, ilens):
+            with compute_dtype(dt):
+                return model.inference(p, state, xs, ilens, out_maxlen=L)
+        return infer
+
+    tiers_fns = {
+        "f32": make_infer(params, None),
+        "bf16": make_infer(params, jnp.bfloat16),
+        "int8": make_infer(params_q, jnp.bfloat16),
     }
     out = {}
-    mels = {}
-    for name, kw in tiers.items():
-        s = Synthesizer(model, params, state, **kw)
-        mel, lens = s.mel_from_token_batch(bench_batch)  # compile+warmup
-        frames = int(lens.sum())
+    for name, fn in tiers_fns.items():
+        mel, out_lens, _ = fn(xs, ilens)
+        jax.block_until_ready(mel)
+        frames = int(np.asarray(out_lens).sum())
         reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):
-            mel, lens = s.mel_from_token_batch(bench_batch)
+            mel, out_lens, _ = fn(xs, ilens)
+        jax.block_until_ready(mel)
         dt = time.perf_counter() - t0
         out[name] = {"mel_frames_per_s": round(frames * reps / dt, 1)}
-        # parity mels, one utterance per row (exact-unpadded => batch-safe)
+
+    # mel parity set (host pulls are fine here; exact-unpadded => batch-safe)
+    mels = {}
+    for name, kw in (("f32", dict(matmul_precision="highest")),
+                     ("bf16", dict(bf16=True)),
+                     ("int8", dict(bf16=True, int8=True))):
+        s = Synthesizer(model, params, state, **kw)
         pm, pl = s.mel_from_token_batch(parity_set)
         mels[name] = [pm[i, : pl[i]] for i in range(SENTENCES)]
 

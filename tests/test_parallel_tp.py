@@ -175,3 +175,162 @@ def test_tp_train_loop_smoke(tmp_path):
     assert int(ts.step) >= 3
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree.leaves(ts.params))
+
+
+# ---------------------------------------------------------------------------
+# TP x Pallas: fused kernels shard_mapped over the 'model' axis
+# (VERDICT round-1 item 7). Kernel-level parity runs in interpret mode on the
+# virtual mesh; the train-step test monkeypatches interpret=True so the real
+# fused path (custom VJP and all) executes on CPU.
+# ---------------------------------------------------------------------------
+
+import functools
+
+from fastspeech2_tpu.ops.pallas.attention import (
+    fused_attention_packed,
+    fused_attention_packed_tp,
+    mha_fused_apply,
+)
+from fastspeech2_tpu.parallel.sharding import (
+    tensor_parallel_attention,
+    tp_degree,
+)
+
+
+def _qkv(B=8, T=16, H=2, dk=8, seed=3):
+    g = np.random.default_rng(seed)
+    D = H * dk
+    q, k, v = (jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+               for _ in range(3))
+    lengths = jnp.asarray(g.integers(T // 2, T + 1, (B,)), jnp.int32)
+    return q, k, v, lengths
+
+
+def test_fused_attention_packed_tp_matches_unsharded():
+    """shard_map(model-axis) fused attention == the unsharded kernel: the
+    head-packed D shard boundary is a head boundary, so per-shard attention
+    is exact (no cross-head math in the kernel)."""
+    from fastspeech2_tpu.parallel.sharding import make_mesh_2d
+
+    q, k, v, lengths = _qkv()
+    want = fused_attention_packed(q, k, v, lengths, 2, interpret=True)
+    mesh = make_mesh_2d(4, 2)
+    got = fused_attention_packed_tp(q, k, v, lengths, 2, mesh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mha_fused_apply_uses_tp_context():
+    """mha_fused_apply routes through the shard_mapped kernel inside a
+    tensor_parallel_attention context and matches the unsharded result."""
+    from fastspeech2_tpu.ops.attention import init_mha
+    from fastspeech2_tpu.parallel.sharding import make_mesh_2d
+
+    g = np.random.default_rng(5)
+    B, T, H, D = 8, 16, 2, 16
+    params = init_mha(jax.random.PRNGKey(1), D)
+    x = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray(g.integers(T // 2, T + 1, (B,)), jnp.int32)
+
+    want = mha_fused_apply(params, x, lengths, H, interpret=True)
+    assert tp_degree() == 1
+    mesh = make_mesh_2d(4, 2)
+    with tensor_parallel_attention(mesh):
+        assert tp_degree() == 2
+        got = mha_fused_apply(params, x, lengths, H, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_train_tp_values_and_grads():
+    """Training kernel under shard_map: rate=0 forward AND grads match the
+    unsharded custom-VJP kernel (differentiation flows through shard_map into
+    each shard's backward kernel)."""
+    from fastspeech2_tpu.ops.pallas.attention_train import (
+        fused_attention_train,
+        fused_attention_train_tp,
+    )
+    from fastspeech2_tpu.parallel.sharding import make_mesh_2d
+
+    g = np.random.default_rng(7)
+    B, H, T, dk = 4, 2, 16, 8
+    q, k, v = (jnp.asarray(g.normal(size=(B, H, T, dk)), jnp.float32)
+               for _ in range(3))
+    lengths = jnp.asarray(g.integers(T // 2, T + 1, (B,)), jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+    mesh = make_mesh_2d(2, 2)
+
+    def loss_plain(q, k, v):
+        return jnp.sum(fused_attention_train(q, k, v, lengths, seed, 0.0,
+                                             True) ** 2)
+
+    def loss_tp(q, k, v):
+        return jnp.sum(fused_attention_train_tp(q, k, v, lengths, seed, 0.0,
+                                                mesh, interpret=True) ** 2)
+
+    want, wgrads = jax.value_and_grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+    got, ggrads = jax.value_and_grad(loss_tp, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    for ga, gb in zip(ggrads, wgrads):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tp_train_step_with_fused_attention(monkeypatch):
+    """Full dp x tp train step WITH the fused training-attention kernel
+    engaged (interpret mode forced; d_k=128 so the fusable gate passes):
+    one step matches the unsharded fused step. Dropout rates are zeroed so
+    the per-shard seed offset is irrelevant to the comparison. This is the
+    configuration train/loop.py now builds for head-divisible TP (the
+    round-1 fused_attention='off' override is gone)."""
+    import dataclasses
+
+    import fastspeech2_tpu.ops.pallas.attention_train as AT
+
+    orig_train = AT.fused_attention_train
+    monkeypatch.setattr(  # force interpret (last positional arg) on CPU
+        AT, "fused_attention_train",
+        lambda q, k, v, lens, seed, rate, interpret=False:
+            orig_train(q, k, v, lens, seed, rate, True))
+
+    from fastspeech2_tpu.parallel.sharding import make_mesh_2d
+
+    cfg = small_cfg(accum_grad=1)
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, adim=256, ddim=256, aheads=2, eunits=64, dunits=64,
+        fused_attention="on", transformer_dropout_rate=0.0,
+        postnet_dropout_rate=0.0, duration_predictor_dropout_rate=0.0,
+        variance_predictor_dropout_rate=0.0))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg)
+    ts0 = TrainState(params, state, opt.init(params), jnp.asarray(0, jnp.int32))
+    batch = tiny_batch(B=8)
+    rng = jax.random.PRNGKey(42)
+
+    # unsharded fused step (tp_degree() == 1 path)
+    plain = make_train_step(model, opt, 1, bf16=True)
+    ts_a, rep_a = jax.jit(plain)(ts0, batch, rng)
+
+    # dp=2 x tp=2 with the shard_mapped kernel
+    mesh = make_mesh_2d(2, 2)
+    ts_sh = TrainState(shard_pytree(ts0.params, mesh), ts0.model_state,
+                       shard_pytree(ts0.opt_state, mesh), ts0.step)
+    tp_step = shard_train_step_tp(
+        make_train_step(model, opt, 1, bf16=True, tp_mesh=mesh), mesh, ts_sh)
+    with mesh:
+        ts_b, rep_b = tp_step(ts_sh, batch, rng)
+
+    for key in rep_a:
+        # grad_norm sums squares over every (bf16-computed) grad leaf, so it
+        # integrates the shard-order accumulation noise; losses stay tighter
+        rtol = 8e-3 if key == "grad_norm" else 2e-3
+        np.testing.assert_allclose(
+            float(rep_b[key]), float(rep_a[key]), rtol=rtol, atol=1e-4,
+            err_msg=f"report {key} diverges under tp x fused attention")
+    # parameters after the update agree too
+    a = jax.tree.leaves(ts_a.params)
+    b = jax.tree.leaves(jax.device_get(ts_b.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=5e-3, atol=5e-4)
