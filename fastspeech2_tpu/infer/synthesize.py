@@ -92,8 +92,12 @@ class Synthesizer:
         self._voc_fn_hop = 256
 
     def _compute_ctx(self):
-        """(compute dtype, matmul-precision context factory) — the single
-        source of numerics config for the mel and fused-wav jit builders."""
+        """(compute dtype, matmul-precision context factory, kernel-mesh
+        context factory) — the single source of numerics/placement config for
+        the mel and fused-wav jit builders. The kernel-mesh context makes the
+        Pallas kernels shard_map over the data mesh instead of being opaque
+        custom calls GSPMD all-gathers around (parallel/sharding.py:
+        data_shard_map)."""
         dt = jnp.bfloat16 if self.bf16 else None
 
         def _prec():
@@ -101,17 +105,25 @@ class Synthesizer:
                     if self.matmul_precision != "default"
                     else contextlib.nullcontext())
 
-        return dt, _prec
+        def _kmesh():
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from fastspeech2_tpu.parallel.sharding import (
+                    tensor_parallel_attention)
+
+                return tensor_parallel_attention(self.mesh)
+            return contextlib.nullcontext()
+
+        return dt, _prec, _kmesh
 
     def _fn(self, t_pad: int, l_pad: int):
         key = (t_pad, l_pad)
         if key not in self._jitted:
             from fastspeech2_tpu.ops.precision import compute_dtype
 
-            dt, _prec = self._compute_ctx()
+            dt, _prec, _kmesh = self._compute_ctx()
 
             def infer(params, state, xs, ilens, alphas):
-                with compute_dtype(dt), _prec():
+                with compute_dtype(dt), _prec(), _kmesh():
                     return self.model.inference(params, state, xs, ilens,
                                                 out_maxlen=l_pad, alpha=alphas)
             if self.mesh is not None:
@@ -162,21 +174,22 @@ class Synthesizer:
         if key not in self._jitted_wav:
             from fastspeech2_tpu.ops.precision import compute_dtype
 
-            dt, _prec = self._compute_ctx()
+            dt, _prec, _kmesh = self._compute_ctx()
             gen = self._voc
 
             def infer_wav(params, state, voc_params, xs, ilens, alphas):
-                with compute_dtype(dt), _prec():
+                with compute_dtype(dt), _prec(), _kmesh():
                     mel, out_lens, durs = self.model.inference(
                         params, state, xs, ilens, out_maxlen=l_pad,
                         alpha=alphas)
-                # Floor-masked frames double as the tail-flush frames the
-                # standalone vocoder path pads in (melgan.load_melgan); l_pad
-                # stays a multiple of 256 so the fused residual-stack kernel
-                # keeps its 2048-sample tiles. int16 PCM on-device halves the
-                # device->host bytes and the server writes it straight into
-                # the RIFF body.
-                wav = gen(voc_params, mel_floor_mask(mel, out_lens))
+                    # Floor-masked frames double as the tail-flush frames the
+                    # standalone vocoder path pads in (melgan.load_melgan);
+                    # l_pad stays a multiple of 256 so the fused
+                    # residual-stack kernel keeps its 2048-sample tiles
+                    # (and the kernel-mesh context batch-shards it). int16
+                    # PCM on-device halves the device->host bytes and the
+                    # server writes it straight into the RIFF body.
+                    wav = gen(voc_params, mel_floor_mask(mel, out_lens))
                 return mel, pcm16(wav), out_lens
             if self.mesh is not None:
                 from fastspeech2_tpu.parallel.mesh import shard_inference_fn

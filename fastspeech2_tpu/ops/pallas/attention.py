@@ -235,29 +235,37 @@ def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,
                               n_heads: int, mesh, *,
                               interpret: bool = False,
                               block_q: int | None = None) -> Array:
-    """:func:`fused_attention_packed` under Megatron tensor parallelism: the
-    kernel runs inside a ``shard_map`` over the mesh's 'model' axis, each
-    shard computing its own whole heads (head-packed layout => the D shard
-    boundary IS a head boundary when tp | n_heads). GSPMD cannot partition a
-    custom call; the shard_map makes the partitioning explicit and
-    communication-free -- Q/K/V arrive 'model'-sharded from the Megatron
-    column-parallel projections and the output leaves 'model'-sharded into
-    the row-parallel output projection (parallel/sharding.py rules)."""
+    """:func:`fused_attention_packed` partitioned over a device mesh via
+    ``shard_map``: the batch axis shards over 'data' and -- under Megatron
+    tensor parallelism -- the head-packed D axis shards over 'model', each
+    shard computing its own whole heads (the D shard boundary IS a head
+    boundary when tp | n_heads). Either axis may be absent from the mesh.
+
+    GSPMD treats the kernel's custom call as opaque: without this wrapper it
+    ALL-GATHERS the full batch onto every device and slices the result
+    (measured 18 all-gathers in the compiled module on an 8-device data
+    mesh), destroying data-parallel scaling. The shard_map makes the
+    partitioning explicit and communication-free -- per-(batch, head) work is
+    independent; under TP the psum stays where Megatron puts it, in the
+    row-parallel output projection (parallel/sharding.py rules)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from fastspeech2_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 
-    tp = int(mesh.shape[MODEL_AXIS])
+    names = mesh.axis_names
+    d_ax = DATA_AXIS if DATA_AXIS in names else None
+    m_ax = MODEL_AXIS if MODEL_AXIS in names else None
+    tp = int(mesh.shape[m_ax]) if m_ax else 1
     assert n_heads % tp == 0, (n_heads, tp)
-    spec = P(DATA_AXIS, None, MODEL_AXIS)
+    spec = P(d_ax, None, m_ax)
 
     def inner(q, k, v, lens):
         return fused_attention_packed(q, k, v, lens, n_heads // tp,
                                       interpret=interpret, block_q=block_q)
 
     return shard_map(inner, mesh=mesh,
-                     in_specs=(spec, spec, spec, P(DATA_AXIS)),
+                     in_specs=(spec, spec, spec, P(d_ax)),
                      out_specs=spec, check_rep=False)(q, k, v, lengths)
 
 
@@ -284,9 +292,10 @@ def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
         return nn.linear(p, x, out_dtype=dt)
 
     q, k, v = proj(params["q"]), proj(params["k"]), proj(params["v"])
-    if tp_degree() > 1:
-        o = fused_attention_packed_tp(q, k, v, lengths, n_heads,
-                                      current_tp_mesh(), interpret=interpret)
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        o = fused_attention_packed_tp(q, k, v, lengths, n_heads, mesh,
+                                      interpret=interpret)
     else:
         o = fused_attention_packed(q, k, v, lengths, n_heads,
                                    interpret=interpret)

@@ -246,12 +246,13 @@ def mha_fused_train_apply(params, x: Array, lengths: Array, n_heads: int,
 
     seed = jax.random.randint(dropout_key, (1,), 0, np.iinfo(np.int32).max,
                               dtype=jnp.int32)
-    from fastspeech2_tpu.parallel.sharding import current_tp_mesh, tp_degree
+    from fastspeech2_tpu.parallel.sharding import current_tp_mesh
 
-    if tp_degree() > 1:
+    mesh = current_tp_mesh()
+    if mesh is not None:
         o = fused_attention_train_tp(
             proj(params["q"]), proj(params["k"]), proj(params["v"]),
-            lengths, seed, rate, current_tp_mesh(), interpret=interpret)
+            lengths, seed, rate, mesh, interpret=interpret)
     else:
         o = fused_attention_train(proj(params["q"]), proj(params["k"]),
                                   proj(params["v"]), lengths, seed, rate,
@@ -276,15 +277,25 @@ def fused_attention_train_tp(q: Array, k: Array, v: Array, lengths: Array,
 
     from fastspeech2_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 
-    tp = int(mesh.shape[MODEL_AXIS])
+    names = mesh.axis_names
+    d_ax = DATA_AXIS if DATA_AXIS in names else None
+    m_ax = MODEL_AXIS if MODEL_AXIS in names else None
+    tp = int(mesh.shape[m_ax]) if m_ax else 1
     assert q.shape[1] % tp == 0, (q.shape, tp)
-    spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+    spec = P(d_ax, m_ax, None, None)
 
     def inner(q, k, v, lens, seed):
-        idx = jax.lax.axis_index(MODEL_AXIS).astype(jnp.int32)
-        seed = seed + idx * jnp.int32(0x9E37)  # decorrelate shard masks
+        # decorrelate shard masks: the in-kernel hash is a function of
+        # (seed, LOCAL b, LOCAL h, element), so any two shards at the same
+        # local coordinates would draw identical masks without an offset
+        idx = jnp.int32(0)
+        if d_ax:
+            idx = idx + jax.lax.axis_index(d_ax).astype(jnp.int32) * tp
+        if m_ax:
+            idx = idx + jax.lax.axis_index(m_ax).astype(jnp.int32)
+        seed = seed + idx * jnp.int32(0x9E37)
         return fused_attention_train(q, k, v, lens, seed, rate, interpret)
 
     return shard_map(inner, mesh=mesh,
-                     in_specs=(spec, spec, spec, P(DATA_AXIS), P()),
+                     in_specs=(spec, spec, spec, P(d_ax), P()),
                      out_specs=spec, check_rep=False)(q, k, v, lengths, seed)

@@ -157,11 +157,20 @@ def ffn_fused_apply(p, x: Array, lengths: Array, *, out_dtype=None,
     path) under a bf16 compute dtype: casts operands like ops/nn.py then runs
     the fused kernel."""
     from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
 
     dt = current_compute_dtype() or x.dtype
-    return fused_ffn(x.astype(dt), p["w1"]["w"].astype(dt), p["w1"]["b"],
-                     p["w2"]["w"].astype(dt), p["w2"]["b"], lengths,
-                     out_dtype=out_dtype or x.dtype, interpret=interpret)
+
+    def call(x, w1, b1, w2, b2, lens):
+        return fused_ffn(x, w1, b1, w2, b2, lens,
+                         out_dtype=out_dtype or x.dtype, interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 5))
+    return call(x.astype(dt), p["w1"]["w"].astype(dt), p["w1"]["b"],
+                p["w2"]["w"].astype(dt), p["w2"]["b"], lengths)
 
 
 def _ffn_block_kernel(len_ref, x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
@@ -279,10 +288,19 @@ def ffn_block_fused_apply(p_ln, p_ffn, x: Array, lengths: Array, *,
     """Drop-in for the deterministic pre-LN block tail
     ``x + ffn_apply(p_ffn, LN(x), conv_mask)`` under a bf16 compute dtype."""
     from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
 
     dt = current_compute_dtype() or x.dtype
-    return fused_ffn_block(
+
+    def call(x, g, b, w1, b1, w2, b2, lens):
+        return fused_ffn_block(x, g, b, w1, b1, w2, b2, lens,
+                               cd=dt, interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 7))
+    return call(
         x.astype(jnp.float32), p_ln["g"], p_ln["b"],
         p_ffn["w1"]["w"].astype(dt), p_ffn["w1"]["b"],
-        p_ffn["w2"]["w"].astype(dt), p_ffn["w2"]["b"], lengths,
-        cd=dt, interpret=interpret).astype(x.dtype)
+        p_ffn["w2"]["w"].astype(dt), p_ffn["w2"]["b"], lengths).astype(x.dtype)

@@ -184,5 +184,15 @@ def postnet_fused_apply(params, state, cfg, xs: Array, lengths: Array, *,
     invs = [jax.lax.rsqrt(s["var"] + eps) for s in state["bn"]]
     gs = [layer["bn"]["g"] for layer in params["layers"]]
     bs = [layer["bn"]["b"] for layer in params["layers"]]
-    return fused_postnet(xs.astype(jnp.float32), weights, means, invs, gs,
-                         bs, lengths, cd=dt, interpret=interpret)
+
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
+
+    def call(xs, weights, means, invs, gs, bs, lens):
+        return fused_postnet(xs, weights, means, invs, gs, bs, lens,
+                             cd=dt, interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 6))
+    return call(xs.astype(jnp.float32), weights, means, invs, gs, bs, lengths)

@@ -296,8 +296,12 @@ def _train(cfg: Config, name: str, outdir: str,
             mesh, ts)
     else:
         mesh = make_mesh(dp)
+        # multi-device DP: the fused kernels shard_map over the data mesh
+        # (GSPMD would all-gather around their custom calls otherwise)
         step_fn = shard_train_step(
-            make_train_step(model, opt, accum, bf16=cfg.train.bf16), mesh)
+            make_train_step(model, opt, accum, bf16=cfg.train.bf16,
+                            tp_mesh=mesh if mesh.devices.size > 1 else None),
+            mesh)
     eval_fn = jax.jit(make_eval_step(model))
 
     batcher = BucketBatcher(

@@ -183,9 +183,21 @@ class MelGANGenerator:
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = _upsample(block["up"], x, r)
             if self._use_fused(x.shape[1], x.shape[2]):
-                x = resstack_fused(x, *stack_params(block["stacks"]),
-                                   dilations=self.cfg.resstack_dilations,
-                                   interpret=self.fused_interpret)
+                from fastspeech2_tpu.parallel.sharding import (
+                    current_tp_mesh, data_shard_map)
+
+                def call(x, w1, b1, w2, b2):
+                    return resstack_fused(
+                        x, w1, b1, w2, b2,
+                        dilations=self.cfg.resstack_dilations,
+                        interpret=self.fused_interpret)
+
+                mesh = current_tp_mesh()
+                if mesh is not None:
+                    # batch-shard the kernel over the serving data mesh --
+                    # GSPMD would otherwise all-gather around the custom call
+                    call = data_shard_map(call, mesh, batched=(0,))
+                x = call(x, *stack_params(block["stacks"]))
             else:
                 for d, stack in zip(self.cfg.resstack_dilations,
                                     block["stacks"]):

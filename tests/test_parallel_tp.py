@@ -334,3 +334,91 @@ def test_tp_train_step_with_fused_attention(monkeypatch):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(y), np.asarray(x),
                                    rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Data-mesh kernel sharding: GSPMD all-gathers around opaque Pallas custom
+# calls (measured: 18 all-gathers on an 8-device data mesh); the kernel-mesh
+# context shard_maps them instead. These pin the no-collectives property and
+# numerical equality of every wrapped kernel family.
+# ---------------------------------------------------------------------------
+
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P2
+
+
+def _data_mesh(n=8):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("data",))
+
+
+def test_shard_mapped_attention_compiles_without_collectives():
+    mesh = _data_mesh()
+    B, T, H, dk = 8, 16, 2, 8
+    data = NamedSharding(mesh, P2("data"))
+    f = jax.jit(
+        lambda q, k, v, l: fused_attention_packed_tp(q, k, v, l, H, mesh,
+                                                     interpret=True),
+        in_shardings=(data, data, data, data), out_shardings=data)
+    q = jnp.zeros((B, T, H * dk))
+    hlo = f.lower(q, q, q, jnp.zeros((B,), jnp.int32)).compile().as_text()
+    assert hlo.count("all-gather") == 0 and hlo.count("all-reduce") == 0
+    # and the unwrapped custom call on the same mesh DOES gather (the hazard)
+    g = jax.jit(
+        lambda q, k, v, l: fused_attention_packed(q, k, v, l, H,
+                                                  interpret=True),
+        in_shardings=(data, data, data, data), out_shardings=data)
+    hlo_plain = g.lower(q, q, q, jnp.zeros((B,), jnp.int32)).compile().as_text()
+    assert hlo_plain.count("all-gather") > 0
+
+
+def test_ffn_and_postnet_kernels_match_under_data_mesh():
+    """ffn_fused_apply / ffn_block_fused_apply / postnet_fused_apply inside a
+    kernel-mesh context == their unsharded results."""
+    from fastspeech2_tpu.models.postnet import PostnetConfig, init_postnet
+    from fastspeech2_tpu.ops.pallas.ffn import (ffn_block_fused_apply,
+                                                ffn_fused_apply)
+    from fastspeech2_tpu.ops.pallas.postnet import postnet_fused_apply
+    from fastspeech2_tpu.ops import nn
+
+    g = np.random.default_rng(9)
+    mesh = _data_mesh()
+    B, T, D, Hid = 8, 16, 16, 32
+    x = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray(g.integers(T // 2, T + 1, (B,)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    p_ffn = {"w1": nn.init_conv1d(keys[0], D, Hid, 3),
+             "w2": nn.init_conv1d(keys[1], Hid, D, 1)}
+    p_ln = nn.init_layer_norm(D)
+
+    want1 = ffn_fused_apply(p_ffn, x, lengths, interpret=True)
+    want2 = ffn_block_fused_apply(p_ln, p_ffn, x, lengths, interpret=True)
+
+    pcfg = PostnetConfig(odim=D, n_layers=2, n_chans=16, n_filts=5,
+                         dropout_rate=0.0, use_batch_norm=True)
+    pp, ps = init_postnet(keys[2], pcfg)
+    want3 = postnet_fused_apply(pp, ps, pcfg, x, lengths, interpret=True)
+
+    with tensor_parallel_attention(mesh):
+        got1 = ffn_fused_apply(p_ffn, x, lengths, interpret=True)
+        got2 = ffn_block_fused_apply(p_ln, p_ffn, x, lengths, interpret=True)
+        got3 = postnet_fused_apply(pp, ps, pcfg, x, lengths, interpret=True)
+
+    for got, want in ((got1, want1), (got2, want2), (got3, want3)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_melgan_resstack_matches_under_data_mesh():
+    from fastspeech2_tpu.vocoder.melgan import (MelGANConfig, MelGANGenerator,
+                                                init_melgan)
+
+    cfg = MelGANConfig(n_mels=8, base_channels=32)
+    gen = MelGANGenerator(cfg, fused_resstack=True, fused_interpret=True)
+    params = init_melgan(jax.random.PRNGKey(2), cfg)
+    g = np.random.default_rng(1)
+    mel = jnp.asarray(g.normal(-5, 2, (8, 8, cfg.n_mels)), jnp.float32)
+    want = gen(params, mel)
+    with tensor_parallel_attention(_data_mesh()):
+        got = gen(params, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
