@@ -31,7 +31,9 @@ def extract_pitch(wav: np.ndarray, sample_rate: int, hop_length: int) -> np.ndar
             frame_period=hop_length / sample_rate * 1000,
         )
         return f0
-    except ImportError:
+    except (ImportError, AttributeError):
+        # AttributeError: a stub/broken pyworld module (e.g. test doubles
+        # installed for importing the reference) -- fall through to our DIO
         pass
     from fastspeech2_tpu import native
 

@@ -282,6 +282,30 @@ def cmd_evaluate(args):
     print(json.dumps(evaluate_predictors(model, ts, valid), indent=1))
 
 
+def cmd_golden(args):
+    """Released-checkpoint golden-mel comparison (compat/golden.py): load a
+    reference .pth/.pyt, synthesize the README sentence exactly like
+    reference inference.py, and report MAE vs sample/generated_mel_58k.npy."""
+    import json
+
+    from fastspeech2_tpu.compat.golden import (GOLDEN_TEXT, compare_to_golden,
+                                               find_released_checkpoint,
+                                               synth_with_torch_checkpoint)
+
+    _setup_logging(None)
+    ckpt = args.checkpoint_path or find_released_checkpoint()
+    if not ckpt:
+        raise SystemExit(
+            "no released checkpoint found: pass -p, set FS2_RELEASED_CKPT, "
+            "or drop one under checkpoints/released/")
+    phoneme_strs = args.phonemes.split("|") if args.phonemes else None
+    mel, cfg, step = synth_with_torch_checkpoint(
+        ckpt, text=args.text or GOLDEN_TEXT, phoneme_strs=phoneme_strs)
+    report = compare_to_golden(mel, args.golden)
+    report.update(ckpt=ckpt, step=step)
+    print(json.dumps(report, indent=1))
+
+
 def cmd_export(args):
     from fastspeech2_tpu.infer.export import export_inference
 
@@ -387,6 +411,20 @@ def main(argv=None):
     sp.add_argument("-c", "--config", default=None)
     sp.add_argument("-d", "--data_dir", default=None)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("golden")
+    sp.add_argument("-p", "--checkpoint_path", default=None,
+                    help="released reference .pth/.pyt (default: search "
+                         "FS2_RELEASED_CKPT / checkpoints/released/)")
+    sp.add_argument("--text", default=None,
+                    help="input text (default: the README golden sentence)")
+    sp.add_argument("--phonemes", default=None,
+                    help="'|'-separated per-sentence phoneme strings to "
+                         "bypass g2p (reproduce the exact 2020 g2p_en "
+                         "tokenization)")
+    sp.add_argument("--golden",
+                    default="/root/reference/sample/generated_mel_58k.npy")
+    sp.set_defaults(fn=cmd_golden)
 
     sp = sub.add_parser("export")
     sp.add_argument("-p", "--checkpoint_path", default=None)

@@ -201,3 +201,29 @@ def test_released_checkpoint_golden_mel_allclose():
         f"checkpoint? (golden mel is the 58k-step artifact)")
     golden = np.load(GOLDEN_MEL_PATH)
     np.testing.assert_allclose(mel, golden, rtol=1e-4, atol=2e-4)
+
+
+def test_golden_cli_with_standin_checkpoint(tmp_path, capsys):
+    """`golden -p ckpt` prints the MAE report JSON for any reference-format
+    checkpoint (the push-button CLI for the released-checkpoint check)."""
+    import json
+
+    FeedForwardTransformer = _ref_feed_forward_transformer()
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, elayers=1, dlayers=1))
+    torch.manual_seed(9)
+    ref_model = FeedForwardTransformer(68, 80, _ns(cfg.to_dict()))
+    with torch.no_grad():
+        ref_model.duration_predictor.linear.bias.fill_(1.3)
+    ckpt = tmp_path / "standin.pyt"
+    torch.save({"model": ref_model.state_dict(), "step": 58000,
+                "hp_str": cfg.to_yaml()}, str(ckpt))
+
+    from fastspeech2_tpu.cli import main
+
+    main(["golden", "-p", str(ckpt)])
+    report = json.loads(capsys.readouterr().out)
+    assert report["step"] == 58000
+    assert report["golden_shape"] == [80, 423]
+    assert np.isfinite(report["mae_overlap"])

@@ -185,3 +185,29 @@ def test_weighted_masking_weighs_sequences_equally():
     for k in ("before_loss", "after_loss", "l1_loss", "duration_loss"):
         want = 0.5 * (singles[0][k] + singles[1][k])
         assert r_full[k] == pytest.approx(want, rel=2e-3), k
+
+
+def test_train_step_with_weighted_masking_and_xavier_init():
+    """Integration: a train step runs (finite loss, params update) with
+    use_weighted_masking=True and transformer_init=xavier_uniform -- the two
+    round-1 no-op knobs now live through the real training path."""
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.train.optimizer import make_optimizer
+    from fastspeech2_tpu.train.step import TrainState, make_train_step
+
+    cfg = _small_cfg(use_weighted_masking=True,
+                     transformer_init="xavier_uniform")
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(1))
+    opt = make_optimizer(cfg)
+    ts = TrainState(params, state, opt.init(params), jnp.asarray(0, jnp.int32))
+    batch = _batch(ilens=[8, 5], olens=[20, 12], T=8, L=20, seed=2)
+    step = jax.jit(make_train_step(model, opt, accum_grad=1))
+    ts2, report = step(ts, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(report["loss"]))
+    assert int(ts2.step) == 1
+    # the update actually moved the (xavier-initialized) weights
+    moved = jax.tree.map(lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+                         ts.params, ts2.params)
+    assert max(jax.tree.leaves(moved)) > 0.0
