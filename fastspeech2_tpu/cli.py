@@ -282,6 +282,47 @@ def cmd_evaluate(args):
     print(json.dumps(evaluate_predictors(model, ts, valid), indent=1))
 
 
+def cmd_convert(args):
+    """Bidirectional checkpoint conversion by extension: .npz <-> .pth/.pyt.
+
+    Our .npz -> reference torch format (compat/torch_saver.py) so models
+    trained here deploy on the reference; reference .pth -> our .npz
+    (compat/torch_loader.py) for the other direction.
+    """
+    import jax
+
+    from fastspeech2_tpu.config import Config, load_config
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+
+    _setup_logging(None)
+    src, dst = args.checkpoint_path, args.out
+    torch_exts = (".pth", ".pyt", ".pt")
+    if src.endswith(".npz") and dst.endswith(torch_exts):
+        from fastspeech2_tpu.compat.torch_saver import save_torch_checkpoint
+        from fastspeech2_tpu.train.checkpoint import (load_checkpoint,
+                                                      load_checkpoint_meta)
+
+        meta = load_checkpoint_meta(src)
+        cfg = Config.from_yaml(meta["hp_yaml"])
+        model = FastSpeech2(cfg)
+        p0, s0 = model.init(jax.random.PRNGKey(0))
+        params, state, _, step, _ = load_checkpoint(src, p0, s0)
+        save_torch_checkpoint(dst, jax.device_get(params),
+                              jax.device_get(state), cfg, step=step)
+        logging.info("wrote reference-format checkpoint %s (step %d)", dst, step)
+    elif src.endswith(torch_exts) and dst.endswith(".npz"):
+        from fastspeech2_tpu.compat.torch_loader import load_torch_checkpoint
+        from fastspeech2_tpu.train.checkpoint import save_checkpoint
+
+        cfg = load_config(args.config) if args.config else None
+        params, state, cfg, step = load_torch_checkpoint(src, cfg)
+        save_checkpoint(dst, params, state, None, step, cfg)
+        logging.info("wrote native checkpoint %s (step %d)", dst, step)
+    else:
+        raise SystemExit(
+            f"unsupported conversion {src} -> {dst}: use .npz <-> .pth/.pyt")
+
+
 def cmd_golden(args):
     """Released-checkpoint golden-mel comparison (compat/golden.py): load a
     reference .pth/.pyt, synthesize the README sentence exactly like
@@ -411,6 +452,14 @@ def main(argv=None):
     sp.add_argument("-c", "--config", default=None)
     sp.add_argument("-d", "--data_dir", default=None)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("-p", "--checkpoint_path", required=True)
+    sp.add_argument("-o", "--out", required=True)
+    sp.add_argument("-c", "--config", default=None,
+                    help="override config for .pth sources (default: the "
+                         "checkpoint's embedded hp_str)")
+    sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("golden")
     sp.add_argument("-p", "--checkpoint_path", default=None,

@@ -70,7 +70,8 @@ def _encoder_from_sd(sd: _SD, prefix: str, num_blocks: int, input_layer: str,
                          "b": np.asarray(sd(f"{prefix}.embed.1.bias"))}
         pe_idx = 4
     if use_scaled_pos_enc:
-        p["alpha"] = np.asarray(sd(f"{prefix}.embed.{pe_idx}.alpha"))
+        # reshape: our init stores alpha 0-dim; tolerate (1,)-shaped ckpts
+        p["alpha"] = np.asarray(sd(f"{prefix}.embed.{pe_idx}.alpha")).reshape(())
     layers = []
     for i in range(num_blocks):
         lp = f"{prefix}.encoders_.{i}"
