@@ -180,3 +180,28 @@ def test_lexicon_morphological_derivation():
     assert g.lts_count == before
     g("zyxwvut")
     assert g.lts_count == before + 1
+
+
+def test_lexicon_g2p_never_crashes_and_always_encodable():
+    """Fuzz: arbitrary word shapes (random letters, clitics, hyphens-stripped
+    punctuation, unicode leftovers) never crash the hermetic g2p, and every
+    emitted phone encodes into the 68-symbol vocabulary."""
+    import random
+
+    from fastspeech2_tpu.text import phonemes_to_sequence
+    from fastspeech2_tpu.text.g2p import LexiconG2p, preprocess_text
+
+    g2p = LexiconG2p()
+    rng = random.Random(0)
+    letters = "abcdefghijklmnopqrstuvwxyz'"
+    words = ["".join(rng.choice(letters) for _ in range(rng.randint(1, 14)))
+             for _ in range(300)]
+    words += ["'", "''", "a'", "'s", "n't", "x", "qqq", "aeiou", "rhythm'd"]
+    for w in words:
+        phones = g2p(w)
+        ids = phonemes_to_sequence([p for p in phones if p])
+        assert all(isinstance(i, int) for i in ids)
+    # whole-pipeline check on a gnarly paragraph
+    out = preprocess_text("Dr. Smith's 3rd invoice, $1,024.50 -- unpaid?!")
+    assert isinstance(out, str)
+    assert phonemes_to_sequence(out.split())
