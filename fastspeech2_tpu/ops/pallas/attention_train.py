@@ -264,14 +264,14 @@ def mha_fused_train_apply(params, x: Array, lengths: Array, n_heads: int,
 def fused_attention_train_tp(q: Array, k: Array, v: Array, lengths: Array,
                              seed: Array, rate: float, mesh, *,
                              interpret: bool = False) -> Array:
-    """:func:`fused_attention_train` under tensor parallelism: shard_map over
-    the mesh's 'model' axis on the HEAD dim of the (B, H, T, dk) layout (the
-    reshape from the 'model'-sharded (B, T, D) projection output is local --
-    whole heads per shard when tp | n_heads). The per-shard dropout seed is
-    offset by the shard's axis index: the in-kernel hash mask is a function
-    of (seed, local b, local h, element), so two shards at the same local
-    coordinates would otherwise draw IDENTICAL masks. Differentiation flows
-    through shard_map into the kernel's custom VJP per shard."""
+    """:func:`fused_attention_train` partitioned over a device mesh:
+    shard_map with batch over 'data' and -- under tensor parallelism -- the
+    HEAD dim of the (B, H, T, dk) layout over 'model' (the reshape from the
+    'model'-sharded (B, T, D) projection output is local: whole heads per
+    shard when tp | n_heads). Either axis may be absent. Without the wrapper
+    GSPMD all-gathers the batch around the opaque custom call
+    (see fused_attention_packed_tp). Differentiation flows through shard_map
+    into the kernel's custom VJP per shard."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
