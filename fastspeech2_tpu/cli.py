@@ -471,8 +471,9 @@ def main(argv=None):
                     help="'|'-separated per-sentence phoneme strings to "
                          "bypass g2p (reproduce the exact 2020 g2p_en "
                          "tokenization)")
-    sp.add_argument("--golden",
-                    default="/root/reference/sample/generated_mel_58k.npy")
+    from fastspeech2_tpu.compat.golden import GOLDEN_MEL_PATH
+
+    sp.add_argument("--golden", default=GOLDEN_MEL_PATH)
     sp.set_defaults(fn=cmd_golden)
 
     sp = sub.add_parser("export")

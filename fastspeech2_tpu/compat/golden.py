@@ -45,7 +45,12 @@ def find_released_checkpoint() -> Optional[str]:
     """Path of a released reference checkpoint, or None if none is mounted."""
     env = os.environ.get("FS2_RELEASED_CKPT")
     if env:
-        return env if os.path.exists(env) else None
+        if not os.path.exists(env):
+            # an explicitly-set path must not degrade into a silent skip of
+            # the very check the env var exists to run
+            raise FileNotFoundError(
+                f"FS2_RELEASED_CKPT={env!r} does not exist")
+        return env
     for pattern in _CKPT_GLOBS:
         hits = sorted(glob.glob(pattern, recursive=True))
         if hits:
@@ -91,6 +96,8 @@ def synth_with_torch_checkpoint(
         sentences = [s for s in process_paragraph(text) if s.strip()]
         phoneme_strs = [preprocess_text(s, g2p=g2p) for s in sentences]
     mels = [synth.synth_phonemes(p) for p in phoneme_strs if p]
+    if not mels:
+        raise ValueError(f"input produced no phonemes: {text!r}")
     mel = np.concatenate(mels, axis=0)  # (frames, n_mels)
     return mel.T.astype(np.float32), cfg, step
 

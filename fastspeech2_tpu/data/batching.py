@@ -64,7 +64,8 @@ class BucketBatcher:
     """Deterministic length-bucketed batch stream.
 
     Args:
-        dataset: TTSDataset (or anything with __len__/__getitem__/lengths()).
+        dataset: TTSDataset (or anything with __len__/__getitem__/
+            token_lengths()/frame_lengths()).
         batch_size: per-host batch size (must divide the local device count
             when used with data parallelism).
         token_multiple/frame_multiple: static-shape quantization -- pad targets

@@ -105,8 +105,8 @@ class TTSDataset:
 
     def token_lengths(self) -> np.ndarray:
         """EXACT token counts per utterance (cached; tokenization only, no
-        feature IO). Unlike :meth:`lengths` this is correct for the grapheme
-        path too, where cleaners change the symbol count."""
+        feature IO) -- correct for the grapheme path too, where cleaners
+        change the symbol count relative to the raw field length."""
         if not hasattr(self, "_token_lengths"):
             if self.use_phonemes:
                 tl = [len(phonemes_to_sequence(e.phonemes))

@@ -83,6 +83,23 @@ def letter_to_sound(word: str) -> List[str]:
 _SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
 _VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH"}
 
+# The serving pipeline strips apostrophes BEFORE g2p (punctuation_removers
+# mirrors reference cleaners.py:22), so contractions arrive bare: "don't" ->
+# "dont". Map unambiguous bare forms back to their apostrophized spelling so
+# the lexicon/clitic machinery serves them. Bare forms that collide with real
+# words ("ill", "well", "wed", "hell", "shell", "id", "were") are excluded;
+# "its"/"lets"/"theres" keep identical phones either way.
+_BARE_CONTRACTIONS = {
+    c.replace("'", ""): c for c in (
+        "i'm", "i've", "you're", "you've", "you'll", "you'd", "we've",
+        "they're", "they've", "they'll", "they'd", "he's", "she's", "it's",
+        "that's", "what's", "who's", "where's", "here's", "there's", "let's",
+        "don't", "doesn't", "didn't", "isn't", "aren't", "wasn't", "weren't",
+        "won't", "can't", "couldn't", "wouldn't", "shouldn't", "hasn't",
+        "haven't", "hadn't", "mustn't", "ain't",
+    )
+}
+
 
 def _base_phone(phones: List[str]) -> str:
     return phones[-1].rstrip("012") if phones else ""
@@ -124,13 +141,22 @@ class LexiconG2p:
         self.lts_count = 0  # words that fell through to letter_to_sound
         for path in filter(None, [self.DEFAULT_LEXICON, lexicon_path]):
             if not os.path.exists(path):
-                continue
+                if path == lexicon_path:
+                    # a caller-supplied lexicon must not silently degrade
+                    # to bundle+LTS pronunciations
+                    raise FileNotFoundError(f"lexicon not found: {path}")
+                continue  # bundled default may be absent in odd installs
             with open(path, "r", encoding="utf-8") as f:
                 for line in f:
                     parts = line.strip().split()
                     if len(parts) >= 2 and not parts[0].startswith(";"):
                         # later files (caller-supplied) override the bundle
                         self.lexicon[parts[0].lower()] = " ".join(parts[1:])
+        # serving strips apostrophes before g2p: alias apostrophized entries
+        # ("don't") under their bare spelling ("dont") unless taken
+        for k, v in list(self.lexicon.items()):
+            if "'" in k:
+                self.lexicon.setdefault(k.replace("'", ""), v)
 
     def _base(self, key: str) -> Optional[List[str]]:
         p = self.lexicon.get(key)
@@ -142,10 +168,19 @@ class LexiconG2p:
         hit = self._base(key)
         if hit:
             return hit
+        # apostrophe-stripped contraction ("dont" <- cleaned "don't")
+        apos = _BARE_CONTRACTIONS.get(key)
+        if apos:
+            hit = self.lookup(apos)
+            if hit:
+                return hit
         # possessive / contraction clitics
-        if key.endswith("'s") or key.endswith("s'"):
-            stem = key[:-2] if key.endswith("'s") else key[:-1]
-            base = self.lookup(stem)
+        if key.endswith("s'"):
+            # plural possessive: the stem's plural already ends in S/Z;
+            # the clitic adds no phone ("boys'" == "boys")
+            return self.lookup(key[:-1])
+        if key.endswith("'s"):
+            base = self.lookup(key[:-2])
             if base:
                 return base + _plural_suffix(base)
         if "'" in key:

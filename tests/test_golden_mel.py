@@ -165,11 +165,7 @@ def _exact_frontend_phonemes():
     env = os.environ.get("FS2_GOLDEN_PHONEMES")
     if env:
         return env.split("|")
-    try:
-        import g2p_en  # noqa: F401
-    except ImportError:
-        return None
-    return None  # live g2p_en: let the harness run it itself
+    return None  # no env override: the harness runs live g2p_en itself
 
 
 @pytest.mark.skipif(_RELEASED is None, reason=(

@@ -182,6 +182,47 @@ def test_lexicon_morphological_derivation():
     assert g.lts_count == before + 1
 
 
+def test_contractions_survive_apostrophe_stripping():
+    """The serving pipeline strips apostrophes BEFORE g2p (reference
+    cleaners.py:22 parity), so contractions arrive bare ("don't" -> "dont").
+    The hermetic backend must serve those from the lexicon/clitic machinery,
+    not letter-to-sound."""
+    from fastspeech2_tpu.text.g2p import LexiconG2p, preprocess_text
+
+    g = LexiconG2p()
+    assert g.lookup("dont") == ["D", "OW1", "N", "T"]
+    assert g.lookup("im") == g.lookup("i'm")
+    assert g.lookup("youre") == g.lookup("you're")
+    assert g.lookup("doesnt") == g.lookup("doesn't")
+    assert g.lookup("theyve") is not None
+    # end-to-end: the cleaned text reaching g2p is apostrophe-free
+    before = g.lts_count
+    out = preprocess_text("don't stop, I'm here; they've left.", g2p=g)
+    assert g.lts_count == before, "contractions fell through to LTS"
+    assert out.split()[:3] == ["D", "OW1", "N"]
+    # real words whose spelling collides with a bare contraction keep their
+    # own pronunciation ("ill" != "i'll", "well" != "we'll")
+    assert g.lookup("ill") not in (None, g.lookup("i've"))
+
+
+def test_plural_possessive_adds_no_phone():
+    """"boys'" pronounces exactly like "boys" -- the s' clitic is silent."""
+    from fastspeech2_tpu.text.g2p import LexiconG2p
+
+    g = LexiconG2p()
+    assert g.lookup("boys'") == g.lookup("boys")
+    assert g.lookup("kings'") == g.lookup("kings")
+
+
+def test_user_lexicon_path_must_exist():
+    import pytest
+
+    from fastspeech2_tpu.text.g2p import LexiconG2p
+
+    with pytest.raises(FileNotFoundError):
+        LexiconG2p(lexicon_path="/nonexistent/cmudict.txt")
+
+
 def test_lexicon_g2p_never_crashes_and_always_encodable():
     """Fuzz: arbitrary word shapes (random letters, clitics, hyphens-stripped
     punctuation, unicode leftovers) never crash the hermetic g2p, and every
