@@ -47,36 +47,6 @@ def pcm16(wav, xp=jnp):
     return xp.round(xp.clip(wav, -1.0, 1.0) * 32767.0).astype(xp.int16)
 
 
-def pack_qkv_params(params):
-    """Serving-time transform: concat each FFT block's q/k/v projection into
-    one ``(D, 3D)`` ``qkv`` entry so ``mha_fused_apply`` runs ONE projection
-    matmul per block instead of three launches. Bit-identical: each output
-    column's K-accumulation is unchanged by concatenating columns. The
-    originals stay alongside (the XLA attention fallback still reads them;
-    ~6 MB extra at full size). Skipped for int8 params (projections are
-    quantized there) and under Megatron TP (the sharding rules key on the
-    q/k/v paths)."""
-    out = dict(params)
-    for enc in ("encoder", "decoder"):
-        if enc not in out:
-            continue
-        encp = dict(out[enc])
-        layers = []
-        for layer in encp["layers"]:
-            attn = dict(layer["attn"])
-            if all("w" in attn.get(n, {}) for n in ("q", "k", "v")):
-                attn["qkv"] = {
-                    "w": jnp.concatenate(
-                        [attn[n]["w"] for n in ("q", "k", "v")], axis=1),
-                    "b": jnp.concatenate(
-                        [attn[n]["b"] for n in ("q", "k", "v")]),
-                }
-            layers.append({**layer, "attn": attn})
-        encp["layers"] = layers
-        out[enc] = encp
-    return out
-
-
 class Synthesizer:
     """Stateful wrapper: holds params + jit caches keyed by static shapes."""
 
@@ -96,9 +66,6 @@ class Synthesizer:
             params = jax.device_get(
                 jax.jit(quantize_model_params)(params))
         self.int8 = int8
-        if not int8 and (mesh is None
-                         or "model" not in getattr(mesh, "axis_names", ())):
-            params = pack_qkv_params(params)
         self.params = params
         self.state = state
         self.token_multiple = token_multiple

@@ -387,15 +387,11 @@ class FastSpeech2:
             params["energy_predictor"], self.variance_cfg, hs_e, conv_mask=frame_mask)
         p_raw = variance_inference_apply(
             params["pitch_predictor"], self.variance_cfg, hs_e, conv_mask=frame_mask)
-        # gather form of the one-hot->linear embeddings (bit-exact, no
-        # (B, L, 256) one-hot materialization -- ops/nn.py:embed_rows); int8
-        # export never quantizes the embeds (ops/quant8.py scope)
-        from fastspeech2_tpu.ops.quantize import bucketize
+        one_hot_energy = to_one_hot(e_raw, self.energy_bins)
+        one_hot_pitch = to_one_hot(p_raw, self.pitch_bins)
 
-        hs2 = hs_e + nn.embed_rows(params["pitch_embed"],
-                                   bucketize(p_raw, self.pitch_bins))
-        hs2 = hs2 + nn.embed_rows(params["energy_embed"],
-                                  bucketize(e_raw, self.energy_bins))
+        hs2 = hs_e + nn.linear(params["pitch_embed"], one_hot_pitch)
+        hs2 = hs2 + nn.linear(params["energy_embed"], one_hot_energy)
         # zero pad rows: the reference has no rows beyond the true length at
         # inference (decoder mask is None there, fastspeech.py:221-224); with a
         # static buffer we mask attention + conv tails instead.

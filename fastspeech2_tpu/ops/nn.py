@@ -106,28 +106,6 @@ def linear(p, x: Array, *, out_dtype=None) -> Array:
     return y.astype(out_dtype or x.dtype)
 
 
-def embed_rows(p, idx: Array) -> Array:
-    """``w[idx] + b`` -- bit-exact equivalent of
-    ``linear(p, one_hot(idx, n_bins))`` (the one-hot row selects w's idx-th
-    row; the zero entries contribute exactly nothing in either f32 or bf16
-    accumulation) without materializing the (..., n_bins) one-hot or running
-    its matmul. Serving-path form of the reference's to_one_hot -> Linear
-    variance embeddings (variance_predictor.py:154-159 + fastspeech.py:218);
-    the TRAINING path keeps the one-hot matmul on purpose: this gather's
-    transpose rule is a scatter-add, which TPUs serialize, while the one-hot
-    matmul's transpose is another MXU matmul.
-
-    Matches :func:`linear`'s rounding: under a bf16 compute dtype the selected
-    row is the bf16-rounded weight row; the bias adds in f32 (a one-hot always
-    enters linear() as f32, so the result dtype is f32 either way)."""
-    from fastspeech2_tpu.ops.precision import current_compute_dtype
-
-    dt = current_compute_dtype()
-    w = p["w"] if dt is None else p["w"].astype(dt)
-    return (jnp.take(w, idx, axis=0).astype(jnp.float32)
-            + p["b"].astype(jnp.float32))
-
-
 def conv1d(p, x: Array, *, padding: str = "SAME", out_dtype=None) -> Array:
     """1-D convolution over NLC activations with (k, in, out) weights.
 

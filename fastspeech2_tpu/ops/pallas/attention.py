@@ -291,15 +291,7 @@ def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,
     def proj(p):
         return nn.linear(p, x, out_dtype=dt)
 
-    if "qkv" in params:
-        # serving-time packed projection (infer/synthesize.py pack_qkv_params):
-        # one (D, 3D) matmul instead of three (D, D) launches. Each output
-        # column's K-accumulation is unchanged, so the slices are bit-identical
-        # to the separate projections.
-        q, k, v = jnp.split(nn.linear(params["qkv"], x, out_dtype=dt), 3,
-                            axis=-1)
-    else:
-        q, k, v = proj(params["q"]), proj(params["k"]), proj(params["v"])
+    q, k, v = proj(params["q"]), proj(params["k"]), proj(params["v"])
     mesh = current_tp_mesh()
     if mesh is not None:
         o = fused_attention_packed_tp(q, k, v, lengths, n_heads, mesh,

@@ -121,28 +121,6 @@ def test_bucketize_matches_torch_log_bins(rng):
     np.testing.assert_array_equal(ours, theirs)
 
 
-@pytest.mark.parametrize("bf16", [False, True])
-def test_embed_rows_bit_exact_vs_one_hot_linear(rng, bf16):
-    """The serving-path gather embedding equals linear(one_hot(...)) bit for
-    bit in both precision modes (ops/nn.py:embed_rows)."""
-    from fastspeech2_tpu.ops import nn
-    from fastspeech2_tpu.ops.precision import compute_dtype
-    from fastspeech2_tpu.ops.quantize import linear_bins, to_one_hot
-
-    bins = linear_bins(0.0178, 130.5)
-    x = rng.uniform(-1, 140, size=(4, 96)).astype(np.float32)
-    p = {"w": rng.standard_normal((256, 64)).astype(np.float32),
-         "b": rng.standard_normal((64,)).astype(np.float32)}
-    ctx = compute_dtype(jnp.bfloat16) if bf16 else compute_dtype(None)
-    with ctx:
-        via_matmul = nn.linear(p, to_one_hot(jnp.asarray(x), jnp.asarray(bins)))
-        via_gather = nn.embed_rows(p, bucketize(jnp.asarray(x),
-                                                jnp.asarray(bins)))
-    assert via_gather.dtype == via_matmul.dtype
-    np.testing.assert_array_equal(np.asarray(via_matmul),
-                                  np.asarray(via_gather))
-
-
 def test_log_bins_match_torch_formula():
     # torch: exp(linspace(log(min), log(max), 255)) in float32
     # (reference core/variance_predictor.py:188-197)

@@ -99,24 +99,6 @@ def test_mha_fused_matches_mha_apply(rng):
                                np.asarray(out_xla)[1, :7], rtol=1e-5, atol=1e-5)
 
 
-def test_mha_fused_packed_qkv_bit_exact(rng):
-    """The serving-time packed QKV projection (infer/synthesize.py:
-    pack_qkv_params) is bit-identical to the three separate projections."""
-    from fastspeech2_tpu.infer.synthesize import pack_qkv_params
-
-    B, T, D, H = 2, 12, 32, 2
-    params = init_mha(jax.random.PRNGKey(0), D)
-    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
-    lengths = jnp.asarray([12, 7], jnp.int32)
-
-    packed = pack_qkv_params(
-        {"encoder": {"layers": [{"attn": params}]}})["encoder"]["layers"][0]["attn"]
-    assert "qkv" in packed and packed["qkv"]["w"].shape == (D, 3 * D)
-    out_sep = mha_fused_apply(params, x, lengths, H, interpret=True)
-    out_packed = mha_fused_apply(packed, x, lengths, H, interpret=True)
-    np.testing.assert_array_equal(np.asarray(out_sep), np.asarray(out_packed))
-
-
 def test_fused_ffn_matches_ffn_apply(rng):
     """Length-adaptive fused conv-FFN == the XLA conv path on a conv-masked
     input: boundary rows whose k=9 taps straddle the true length, bias-only
