@@ -15,6 +15,12 @@ API (JSON over HTTP, stdlib-only):
                               optional: "alpha": float, "format": "mel"|"wav"
       format=mel (default): {"mel": [[...80 floats...] x L], "frames": L, ...}
       format=wav: audio/wav bytes (Griffin-Lim unless a vocoder is supplied)
+    POST /stream              body: {"text": "..."} (optional "alpha")
+      chunked streaming WAV: the paragraph is split into sentences (the
+      reference's inference.py:101-108 chunking), ALL sentences are submitted
+      to the batcher up front (so they share micro-batches), and each
+      sentence's PCM streams out the moment it is synthesized -- first audio
+      after one sentence's latency instead of the whole paragraph's.
 
 Run: ``python -m fastspeech2_tpu serve -p CKPT --port 8000``.
 """
@@ -133,9 +139,13 @@ class Batcher:
 def make_handler(batcher: Batcher, cfg, vocoder=None):
     from fastspeech2_tpu.infer.synthesize import pcm16, vocode
     from fastspeech2_tpu.text import phonemes_to_sequence
-    from fastspeech2_tpu.text.g2p import preprocess_text
+    from fastspeech2_tpu.text.g2p import preprocess_text, process_paragraph
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 for Transfer-Encoding: chunked on /stream; every other
+        # response carries an explicit Content-Length, so keep-alive is safe
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             log.debug(fmt, *args)
 
@@ -153,10 +163,8 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
             else:
                 self._json(404, {"error": "unknown path"})
 
-        def do_POST(self):
-            if self.path != "/synthesize":
-                self._json(404, {"error": "unknown path"})
-                return
+        def _parse_payload(self):
+            """Validated (alpha, fmt, phonemes, text) or None after a 400."""
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
@@ -184,7 +192,28 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 # parsing/validation: a frontend bug must be a 500, not be
                 # misreported as a client error.
                 self._json(400, {"error": str(e)})
+                return None
+            return alpha, fmt, phonemes, text
+
+        def _req_pcm(self, req) -> np.ndarray:
+            """Finished request -> int16 PCM (fused-path wav, else host
+            vocode of the mel)."""
+            if req.wav is not None:  # fused path: already int16 PCM
+                return req.wav.astype("<i2", copy=False)
+            wav = vocode(req.mel, cfg, vocoder=vocoder)
+            return pcm16(wav, np).astype("<i2", copy=False)
+
+        def do_POST(self):
+            if self.path == "/stream":
+                self._stream()
                 return
+            if self.path != "/synthesize":
+                self._json(404, {"error": "unknown path"})
+                return
+            parsed = self._parse_payload()
+            if parsed is None:
+                return
+            alpha, fmt, phonemes, text = parsed
 
             if phonemes:
                 try:
@@ -219,19 +248,72 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                     "latency_s": round(latency, 4),
                 })
             else:
-                if req.wav is not None:  # fused path: already int16 PCM
-                    wav16 = req.wav.astype("<i2", copy=False)
-                else:
-                    wav = vocode(req.mel, cfg, vocoder=vocoder)
-                    wav16 = pcm16(wav, np).astype("<i2", copy=False)
-                body = _wav_bytes(wav16, cfg.audio.sample_rate)
+                body = _wav_bytes(self._req_pcm(req), cfg.audio.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        def _stream(self):
+            parsed = self._parse_payload()
+            if parsed is None:
+                return
+            alpha, _, phonemes, text = parsed
+            try:
+                if text:
+                    sent_strs = [preprocess_text(s)
+                                 for s in process_paragraph(text) if s.strip()]
+                else:  # a phoneme string is one pre-tokenized "sentence"
+                    sent_strs = [phonemes]
+                token_seqs = [
+                    np.asarray(phonemes_to_sequence(p), np.int32)
+                    for p in sent_strs if p]
+                token_seqs = [t for t in token_seqs if t.size]
+            except Exception:
+                log.exception("text frontend failed on %r", (text or "")[:200])
+                self._json(500, {"error": "internal frontend error"})
+                return
+            if not token_seqs:
+                self._json(400, {"error": "input produced no phonemes"})
+                return
+
+            # submit every sentence BEFORE streaming: they coalesce into
+            # shared micro-batches while earlier sentences are being written
+            reqs = [batcher.submit(t, alpha) for t in token_seqs]
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            self._chunk(_wav_stream_header(cfg.audio.sample_rate))
+            for req in reqs:
+                req.done.wait()
+                if req.error is not None:
+                    # status line is already sent: abort the stream so the
+                    # client sees a truncated (invalid) chunked body, not
+                    # silently missing sentences
+                    log.error("stream aborted: %s", req.error)
+                    self.close_connection = True
+                    return
+                self._chunk(self._req_pcm(req).tobytes())
+            self._chunk(b"")  # terminating zero-length chunk
+
     return Handler
+
+
+def _wav_stream_header(sample_rate: int) -> bytes:
+    """44-byte mono 16-bit PCM WAV header with unknown (0xFFFFFFFF)
+    RIFF/data sizes -- the convention players/ffmpeg accept for live WAV
+    streams whose final length is not known when the header is sent."""
+    import struct
+
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))
 
 
 def _wav_bytes(pcm16: np.ndarray, sample_rate: int) -> bytes:

@@ -100,6 +100,37 @@ def test_concurrent_requests_batch(server):
     assert stats["batches"] < stats["requests"]
 
 
+def test_stream_multi_sentence_wav(server):
+    """POST /stream returns chunked streaming WAV whose PCM grows with the
+    sentence count (each sentence's audio streams as it finishes)."""
+    def stream(text):
+        req = urllib.request.Request(
+            server + "/stream", data=json.dumps({"text": text}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers.get("Content-Type") == "audio/wav"
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            return r.read()  # urllib decodes the chunked framing
+
+    one = stream("hello world.")
+    three = stream("hello world. good morning there. the stream keeps going.")
+    for body in (one, three):
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        # streaming header: unknown RIFF/data sizes
+        assert body[4:8] == b"\xff\xff\xff\xff"
+        assert len(body) > 44
+    assert len(three) > len(one)
+
+
+def test_stream_bad_input(server):
+    req = urllib.request.Request(
+        server + "/stream", data=json.dumps({"text": "..!?"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
 def test_bad_requests(server):
     # non-object JSON bodies and non-numeric alpha must 400, not drop the
     # connection (the handler catches TypeError/AttributeError too)
