@@ -323,6 +323,18 @@ def cmd_convert(args):
             f"unsupported conversion {src} -> {dst}: use .npz <-> .pth/.pyt")
 
 
+def cmd_average(args):
+    """Average N same-config checkpoints into one deployment checkpoint
+    (train/checkpoint.py:average_checkpoints). The reference has no
+    equivalent; standard ESPnet/fairseq-style deployment step."""
+    from fastspeech2_tpu.train.checkpoint import average_checkpoints
+
+    _setup_logging(None)
+    step = average_checkpoints(args.checkpoints, args.out)
+    logging.info("wrote %s (uniform average of %d checkpoints, step %d)",
+                 args.out, len(args.checkpoints), step)
+
+
 def cmd_golden(args):
     """Released-checkpoint golden-mel comparison (compat/golden.py): load a
     reference .pth/.pyt, synthesize the README sentence exactly like
@@ -460,6 +472,12 @@ def main(argv=None):
                     help="override config for .pth sources (default: the "
                          "checkpoint's embedded hp_str)")
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("average")
+    sp.add_argument("checkpoints", nargs="+",
+                    help="two or more .npz checkpoints of the same config")
+    sp.add_argument("-o", "--out", required=True)
+    sp.set_defaults(fn=cmd_average)
 
     sp = sub.add_parser("golden")
     sp.add_argument("-p", "--checkpoint_path", default=None,

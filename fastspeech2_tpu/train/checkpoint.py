@@ -167,6 +167,75 @@ def load_checkpoint_meta(path: str) -> dict:
         return json.loads(bytes(z["__meta__"]).decode())
 
 
+def average_checkpoints(paths, out_path: str) -> int:
+    """Uniform parameter average of N checkpoints -> one checkpoint.
+
+    The classic deployment trick (averaging the last few periodic saves
+    reduces the variance of the final weights; standard in ESPnet/fairseq
+    pipelines, absent from the reference). Works on the flat npz
+    representation, so no model rebuild is needed: float params AND BatchNorm
+    running stats average uniformly; non-float leaves (none today) and the
+    meta (config snapshot, githash) come from the NEWEST checkpoint by step.
+    The optimizer state is dropped -- an averaged model is an inference/export
+    artifact, not a resume point. Returns the newest step.
+
+    Raises ValueError on config or key-set mismatch between the inputs --
+    averaging across architectures is silent corruption, not a feature.
+    """
+    if len(paths) < 2:
+        raise ValueError("need at least 2 checkpoints to average")
+    metas = [load_checkpoint_meta(p) for p in paths]
+    newest = max(range(len(paths)), key=lambda i: metas[i]["step"])
+    for p, m in zip(paths, metas):
+        if m["hp_yaml"] != metas[newest]["hp_yaml"]:
+            raise ValueError(f"config mismatch: {p} vs {paths[newest]}")
+
+    acc: dict = {}
+    dtypes: dict = {}
+    keysets = None
+    for p in paths:
+        with np.load(p, allow_pickle=False) as z:
+            keys = {k for k in z.files
+                    if k != "__meta__" and not k.startswith("opt::")}
+            if keysets is None:
+                keysets = keys
+            elif keys != keysets:
+                raise ValueError(
+                    f"key mismatch: {sorted(keys ^ keysets)[:5]} ...")
+            for k in keys:
+                v = z[k]
+                dtypes.setdefault(k, v.dtype)
+                if not np.issubdtype(v.dtype, np.floating):
+                    acc[k] = v if p == paths[newest] else acc.get(k, v)
+                    continue
+                # accumulate in f64: N float32 adds stay exact to f32 ulp
+                acc[k] = acc.get(k, 0.0) + v.astype(np.float64)
+    payload = {}
+    for k, v in acc.items():
+        # np.asarray: adding a python 0.0 to a 0-dim array (the PE alphas)
+        # yields a numpy SCALAR, which must still divide + round-trip
+        v = np.asarray(v)
+        if v.dtype == np.float64:
+            v = (v / len(paths)).astype(dtypes[k])
+        payload[k] = v
+    meta = dict(metas[newest])
+    meta["averaged_from"] = [os.path.basename(p) for p in paths]
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(out_path)), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, out_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return int(metas[newest]["step"])
+
+
 def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
     """Retain only the newest ``keep`` step checkpoints in ``ckpt_dir``
     (cfg.train.keep_ckpts). keep <= 0 keeps everything -- the reference never

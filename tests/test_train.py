@@ -126,6 +126,53 @@ def test_checkpoint_roundtrip(setup, tmp_path):
                  ts.opt_state, o2)
 
 
+def test_average_checkpoints(setup, tmp_path):
+    """average: float leaves average uniformly, meta comes from the newest
+    step, the artifact loads and runs inference, mismatches raise."""
+    import dataclasses
+
+    from fastspeech2_tpu.train.checkpoint import (average_checkpoints,
+                                                  load_checkpoint_meta)
+
+    cfg, model, opt, ts = setup
+    p_a = jax.tree.map(np.asarray, ts.params)
+    p_b = jax.tree.map(lambda x: np.asarray(x) * 3.0, ts.params)
+    a = os.path.join(tmp_path, "a.npz")
+    b = os.path.join(tmp_path, "b.npz")
+    out = os.path.join(tmp_path, "avg.npz")
+    save_checkpoint(a, p_a, ts.model_state, ts.opt_state, 100, cfg)
+    save_checkpoint(b, p_b, ts.model_state, ts.opt_state, 200, cfg)
+    step = average_checkpoints([a, b], out)
+    assert step == 200
+    meta = load_checkpoint_meta(out)
+    assert meta["averaged_from"] == ["a.npz", "b.npz"]
+    p_avg, s_avg, o_avg, step2, _ = load_checkpoint(
+        out, ts.params, ts.model_state)
+    assert o_avg is None and step2 == 200
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x) * 2.0,
+                                                np.asarray(y), rtol=1e-6),
+        p_a, p_avg)
+    # the averaged artifact drives inference
+    mel, out_lens, _ = model.inference(
+        p_avg, s_avg, jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+        jnp.asarray([4], jnp.int32), out_maxlen=64)
+    assert mel.shape == (1, 64, cfg.audio.num_mels)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 2"):
+        average_checkpoints([a], out)
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, adim=cfg.model.adim))
+    cfg2 = dataclasses.replace(
+        cfg2, train=dataclasses.replace(cfg2.train, bf16=not cfg.train.bf16))
+    c = os.path.join(tmp_path, "c.npz")
+    save_checkpoint(c, p_a, ts.model_state, ts.opt_state, 300, cfg2)
+    with pytest.raises(ValueError, match="config mismatch"):
+        average_checkpoints([a, c], out)
+
+
 def test_async_checkpointer_roundtrip_and_prune(setup, tmp_path):
     """AsyncCheckpointer writes the same resumable artifact as the sync path,
     prunes retention on the writer thread, and surfaces writer errors."""
