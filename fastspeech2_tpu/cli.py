@@ -47,24 +47,31 @@ def cmd_preprocess(args):
     wavs = sorted(glob.glob(os.path.join(args.data_path, "**", "*.wav"),
                             recursive=True))
     logging.info("preprocessing %d wavs -> %s", len(wavs), out_root)
-    for path in wavs:
-        sr, wav = read_wav(path)
-        if wav.dtype == np.int16:
-            wav = wav / 32768.0
-        elif wav.dtype == np.int32:
-            wav = wav / 2147483648.0
-        wav = wav.astype(np.float32)
-        assert sr == a.sample_rate, f"{path}: sr {sr} != {a.sample_rate}"
-        p = extract_pitch(wav, a.sample_rate, a.hop_length)
-        mel, e = mel_fn.mel_and_energy(wav[None])
-        e = np.asarray(e)[0]
-        mel = np.asarray(mel)[0]
-        p = p[: mel.shape[1]]
-        utt = os.path.basename(path).split(".")[0]
-        np.save(os.path.join(out_root, "mels", f"{utt}.npy"), mel)
-        np.save(os.path.join(out_root, "energy", f"{utt}.npy"), e)
-        np.save(os.path.join(out_root, "pitch", f"{utt}.npy"),
-                p.astype(np.float64))
+    # chunked + length-bucketed: mel/energy run as batched device calls with
+    # a handful of static shapes (one jit compile per bucket, not per unique
+    # wav length -- see MelSpectrogram.mel_and_energy_bucketed); pitch stays
+    # per-utterance host DIO exactly like the reference's pyworld call
+    CHUNK = 64
+    for c in range(0, len(wavs), CHUNK):
+        paths = wavs[c : c + CHUNK]
+        signals = []
+        for path in paths:
+            sr, wav = read_wav(path)
+            if wav.dtype == np.int16:
+                wav = wav / 32768.0
+            elif wav.dtype == np.int32:
+                wav = wav / 2147483648.0
+            assert sr == a.sample_rate, f"{path}: sr {sr} != {a.sample_rate}"
+            signals.append(wav.astype(np.float32))
+        feats = mel_fn.mel_and_energy_bucketed(signals)
+        for path, wav, (mel, e) in zip(paths, signals, feats):
+            p = extract_pitch(wav, a.sample_rate, a.hop_length)
+            p = p[: mel.shape[1]]
+            utt = os.path.basename(path).split(".")[0]
+            np.save(os.path.join(out_root, "mels", f"{utt}.npy"), mel)
+            np.save(os.path.join(out_root, "energy", f"{utt}.npy"), e)
+            np.save(os.path.join(out_root, "pitch", f"{utt}.npy"),
+                    p.astype(np.float64))
 
 
 def cmd_stats(args):

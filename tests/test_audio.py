@@ -2,6 +2,7 @@
 (rebuilt in-test with torch as the oracle), mel filterbank properties, energy,
 iSTFT round-trip."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -98,6 +99,28 @@ def test_mel_spectrogram_shapes_and_range(wave):
     m = np.asarray(mel)
     assert m.min() >= np.log(1e-5) - 1e-6  # clamp floor
     assert m.max() < 10
+
+
+def test_mel_and_energy_bucketed_bit_exact():
+    """The bucketed batched preprocessing path (one compile per padded
+    length) sees sample-exact frame inputs, so outputs match the
+    per-utterance transform to f32 ulp (XLA reduction order differs across
+    batch shapes; measured max 1.4e-6 on log-mels) -- including awkward
+    lengths (hop-aligned, off-by-one, shorter than the reflect pad)."""
+    rng = np.random.default_rng(7)
+    lens = [22050, 22051, 4096, 256 * 37 + 13, 511, 70000]
+    wavs = [rng.uniform(-0.9, 0.9, size=(n,)).astype(np.float32)
+            for n in lens]
+    mel_fn = MelSpectrogram()
+    got = mel_fn.mel_and_energy_bucketed(wavs, bucket=16384, max_batch=4)
+    for w, (mel_b, e_b) in zip(wavs, got):
+        mel_1, e_1 = mel_fn.mel_and_energy(jnp.asarray(w)[None])
+        F = len(w) // 256 + 1
+        assert mel_b.shape == (80, F) and e_b.shape == (F,)
+        np.testing.assert_allclose(mel_b, np.asarray(mel_1)[0],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(e_b, np.asarray(e_1)[0],
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_energy(wave):
