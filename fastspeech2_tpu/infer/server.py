@@ -163,10 +163,19 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        MAX_BODY = 1 << 20  # 1 MiB of JSON text is already absurd for TTS
+        SYNTH_TIMEOUT_S = 600.0  # batcher-death guard, not a latency bound
+
         def _parse_payload(self):
-            """Validated (alpha, fmt, phonemes, text) or None after a 400."""
+            """Validated (alpha, fmt, phonemes, text) or None after a 4xx."""
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > self.MAX_BODY:
+                    # the unread body would be parsed as the next keep-alive
+                    # request: drop the connection after replying
+                    self.close_connection = True
+                    self._json(413, {"error": f"body over {self.MAX_BODY} bytes"})
+                    return None
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(payload, dict):
                     raise ValueError("body must be a JSON object")
@@ -236,7 +245,10 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
 
             t0 = time.perf_counter()
             req = batcher.submit(tokens, alpha)
-            req.done.wait()
+            if not req.done.wait(self.SYNTH_TIMEOUT_S):
+                # a dead/wedged batcher must not pin handler threads forever
+                self._json(504, {"error": "synthesis timed out"})
+                return
             if req.error is not None:
                 self._json(500, {"error": req.error})
                 return
@@ -290,7 +302,10 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
             self.end_headers()
             self._chunk(_wav_stream_header(cfg.audio.sample_rate))
             for req in reqs:
-                req.done.wait()
+                if not req.done.wait(self.SYNTH_TIMEOUT_S):
+                    log.error("stream aborted: synthesis timed out")
+                    self.close_connection = True
+                    return
                 if req.error is not None:
                     # status line is already sent: abort the stream so the
                     # client sees a truncated (invalid) chunked body, not

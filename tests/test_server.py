@@ -131,6 +131,16 @@ def test_stream_bad_input(server):
     assert e.value.code == 400
 
 
+def test_oversized_body_413(server):
+    big = json.dumps({"text": "x" * (2 << 20)}).encode()
+    req = urllib.request.Request(
+        server + "/synthesize", data=big,
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
+
+
 def test_bad_requests(server):
     # non-object JSON bodies and non-numeric alpha must 400, not drop the
     # connection (the handler catches TypeError/AttributeError too)
