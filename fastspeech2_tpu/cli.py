@@ -337,6 +337,9 @@ def cmd_average(args):
     from fastspeech2_tpu.train.checkpoint import average_checkpoints
 
     _setup_logging(None)
+    if len(args.checkpoints) < 2:  # a 1-file glob is a usage error, not a bug
+        raise SystemExit("average: need at least 2 checkpoints "
+                         f"(got {args.checkpoints})")
     step = average_checkpoints(args.checkpoints, args.out)
     logging.info("wrote %s (uniform average of %d checkpoints, step %d)",
                  args.out, len(args.checkpoints), step)

@@ -165,17 +165,33 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
 
         MAX_BODY = 1 << 20  # 1 MiB of JSON text is already absurd for TTS
         SYNTH_TIMEOUT_S = 600.0  # batcher-death guard, not a latency bound
+        MAX_STREAM_SENTENCES = 256  # one /stream can't flood the batcher
 
         def _parse_payload(self):
             """Validated (alpha, fmt, phonemes, text) or None after a 4xx."""
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                if n > self.MAX_BODY:
-                    # the unread body would be parsed as the next keep-alive
-                    # request: drop the connection after replying
-                    self.close_connection = True
-                    self._json(413, {"error": f"body over {self.MAX_BODY} bytes"})
-                    return None
+            except (ValueError, TypeError):
+                # body length unknowable -> body unreadable: reply and drop
+                # the connection so leftovers can't masquerade as the next
+                # keep-alive request
+                self.close_connection = True
+                self._json(400, {"error": "bad Content-Length"})
+                return None
+            if n > self.MAX_BODY:
+                # drain a bounded amount so the client's send() completes and
+                # it can read the 413 (an RST from unread data would eat the
+                # reply); past the drain cap, close and let it reset
+                self.close_connection = True
+                drained = 0
+                while drained < min(n, 16 << 20):
+                    chunk = self.rfile.read(min(65536, n - drained))
+                    if not chunk:
+                        break
+                    drained += len(chunk)
+                self._json(413, {"error": f"body over {self.MAX_BODY} bytes"})
+                return None
+            try:
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(payload, dict):
                     raise ValueError("body must be a JSON object")
@@ -217,6 +233,9 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 self._stream()
                 return
             if self.path != "/synthesize":
+                # the POST body was never read: close so it can't be parsed
+                # as the next keep-alive request
+                self.close_connection = True
                 self._json(404, {"error": "unknown path"})
                 return
             parsed = self._parse_payload()
@@ -275,22 +294,34 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
             if parsed is None:
                 return
             alpha, _, phonemes, text = parsed
-            try:
-                if text:
+            # same precedence as /synthesize: explicit phonemes win over text
+            if phonemes:
+                try:  # one pre-tokenized "sentence"; bad symbols = client 400
+                    token_seqs = [np.asarray(phonemes_to_sequence(phonemes),
+                                             np.int32)]
+                except Exception as e:
+                    self._json(400, {"error": f"bad phonemes: {e}"})
+                    return
+            else:
+                try:  # any string should g2p: failures here are server bugs
                     sent_strs = [preprocess_text(s)
                                  for s in process_paragraph(text) if s.strip()]
-                else:  # a phoneme string is one pre-tokenized "sentence"
-                    sent_strs = [phonemes]
-                token_seqs = [
-                    np.asarray(phonemes_to_sequence(p), np.int32)
-                    for p in sent_strs if p]
-                token_seqs = [t for t in token_seqs if t.size]
-            except Exception:
-                log.exception("text frontend failed on %r", (text or "")[:200])
-                self._json(500, {"error": "internal frontend error"})
-                return
+                    token_seqs = [
+                        np.asarray(phonemes_to_sequence(p), np.int32)
+                        for p in sent_strs if p]
+                except Exception:
+                    log.exception("text frontend failed on %r", text[:200])
+                    self._json(500, {"error": "internal frontend error"})
+                    return
+            token_seqs = [t for t in token_seqs if t.size]
             if not token_seqs:
                 self._json(400, {"error": "input produced no phonemes"})
+                return
+            if len(token_seqs) > self.MAX_STREAM_SENTENCES:
+                # bounds what one request can enqueue on the shared batcher
+                self._json(400, {"error": (
+                    f"over {self.MAX_STREAM_SENTENCES} sentences in one "
+                    "stream; split the request")})
                 return
 
             # submit every sentence BEFORE streaming: they coalesce into

@@ -56,17 +56,12 @@ def git_hash() -> str:
         return "unknown"
 
 
-def save_checkpoint(path: str, params, model_state, opt_state, step: int,
-                    cfg: Config) -> None:
-    """Atomic single-file checkpoint write."""
-    payload = {}
-    for prefix, tree in (("params", params), ("state", model_state),
-                         ("opt", opt_state)):
-        for k, v in _flatten(tree).items():
-            payload[f"{prefix}::{k}"] = v
-    meta = json.dumps({"step": int(step), "hp_yaml": cfg.to_yaml(),
-                       "githash": git_hash(), "format": 1})
-    payload["__meta__"] = np.frombuffer(meta.encode(), dtype=np.uint8)
+def _atomic_savez(path: str, payload: dict, meta: dict) -> None:
+    """npz write to a same-directory temp file + rename; __meta__ rides as a
+    uint8 JSON buffer (npz has no string arrays without pickle)."""
+    payload = dict(payload)
+    payload["__meta__"] = np.frombuffer(json.dumps(meta).encode(),
+                                        dtype=np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
                                suffix=".tmp")
@@ -78,6 +73,18 @@ def save_checkpoint(path: str, params, model_state, opt_state, step: int,
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def save_checkpoint(path: str, params, model_state, opt_state, step: int,
+                    cfg: Config) -> None:
+    """Atomic single-file checkpoint write."""
+    payload = {}
+    for prefix, tree in (("params", params), ("state", model_state),
+                         ("opt", opt_state)):
+        for k, v in _flatten(tree).items():
+            payload[f"{prefix}::{k}"] = v
+    _atomic_savez(path, payload, {"step": int(step), "hp_yaml": cfg.to_yaml(),
+                                  "githash": git_hash(), "format": 1})
 
 
 class AsyncCheckpointer:
@@ -220,19 +227,7 @@ def average_checkpoints(paths, out_path: str) -> int:
         payload[k] = v
     meta = dict(metas[newest])
     meta["averaged_from"] = [os.path.basename(p) for p in paths]
-    payload["__meta__"] = np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8)
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(os.path.abspath(out_path)), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, **payload)
-        os.replace(tmp, out_path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    _atomic_savez(out_path, payload, meta)
     return int(metas[newest]["step"])
 
 

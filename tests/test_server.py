@@ -123,12 +123,16 @@ def test_stream_multi_sentence_wav(server):
 
 
 def test_stream_bad_input(server):
-    req = urllib.request.Request(
-        server + "/stream", data=json.dumps({"text": "..!?"}).encode(),
-        headers={"Content-Type": "application/json"})
-    with pytest.raises(urllib.error.HTTPError) as e:
-        urllib.request.urlopen(req, timeout=30)
-    assert e.value.code == 400
+    # unphonemizable text, unknown phoneme symbols (client 400, not a 500),
+    # and a sentence-count flood all reject up front
+    for payload in ({"text": "..!?"}, {"phonemes": "HH QQ9"},
+                    {"text": "a." * 300}):
+        req = urllib.request.Request(
+            server + "/stream", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400, payload
 
 
 def test_oversized_body_413(server):
