@@ -260,6 +260,13 @@ def cmd_serve(args):
                 vocoder_path, bf16=(jax.default_backend() == "tpu")))
             logging.info("serving wav with WaveGlow checkpoint %s",
                          vocoder_path)
+    if getattr(args, "warmup", False):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n = synth.warmup(batch_sizes=(1, args.max_batch))
+        logging.info("warmed %d serving shapes in %.1fs",
+                     n, _time.perf_counter() - t0)
     serve(synth, cfg, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
 
@@ -467,6 +474,9 @@ def main(argv=None):
     sp.add_argument("--vocoder", default=None,
                     help="local MelGAN checkpoint for wav responses "
                          "(else Griffin-Lim)")
+    sp.add_argument("--warmup", action="store_true",
+                    help="pre-compile the common serving shapes before "
+                         "binding the port (first requests skip 20-40s jit)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("evaluate")

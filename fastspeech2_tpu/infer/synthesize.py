@@ -202,6 +202,17 @@ class Synthesizer:
                 self._jitted_wav[key] = jax.jit(infer_wav)
         return self._jitted_wav[key]
 
+    def _b_pad(self, B: int) -> int:
+        """Pad serving micro-batches to the next power of two (and to the
+        data-mesh multiple): a varying request count would otherwise retrace
+        the jit for every distinct B, stalling the batcher 20-40 s per new
+        size on TPU. Padded rows carry ilens=1, so the length-adaptive
+        kernels spend ~nothing on them. log2(max_batch)+1 shapes total."""
+        b = 1 << (B - 1).bit_length()
+        if self.mesh is not None:
+            b = _round_up(b, self.mesh.devices.size)
+        return b
+
     def _alphas(self, alpha, B: int, B_pad: int) -> Tuple[np.ndarray, float]:
         """Normalize a scalar or per-sequence alpha into a padded (B_pad,)
         f32 vector + its max (for sizing the static frame buffer)."""
@@ -249,8 +260,7 @@ class Synthesizer:
             return mel, wav16, out_lens * hop
         assert self._voc is not None, "attach_vocoder(_fn) first"
         B = len(token_seqs)
-        B_pad = B if self.mesh is None else _round_up(
-            B, self.mesh.devices.size)
+        B_pad = self._b_pad(B)
         alphas, a_max = self._alphas(alpha, B, B_pad)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
         l_pad = self._l_pad(t_pad, a_max)
@@ -276,8 +286,7 @@ class Synthesizer:
         if not token_seqs or not all(len(s) for s in token_seqs):
             raise ValueError("empty token sequence: input produced no phonemes")
         B = len(token_seqs)
-        B_pad = B if self.mesh is None else _round_up(
-            B, self.mesh.devices.size)
+        B_pad = self._b_pad(B)
         alphas, a_max = self._alphas(alpha, B, B_pad)
         t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
         l_pad = self._l_pad(t_pad, a_max)
@@ -291,6 +300,23 @@ class Synthesizer:
             self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens),
             jnp.asarray(alphas))
         return np.asarray(mel)[:B], np.asarray(out_lens)[:B]
+
+    def warmup(self, batch_sizes=(1, 16), token_lens=(32, 96)) -> int:
+        """Pre-compile the serving shapes so the first real requests don't
+        pay 20-40 s of jit each (cold-start is per (B_pad, t_pad, l_pad)
+        shape). Runs dummy batches through the wav path when a vocoder is
+        attached, else the mel path; returns the number of calls made.
+        ``serve --warmup`` drives this before binding the port."""
+        calls = 0
+        for t in token_lens:
+            for b in batch_sizes:
+                seqs = [np.ones((t,), np.int32)] * b
+                if self.has_vocoder:
+                    self.wav_from_token_batch(seqs)
+                else:
+                    self.mel_from_token_batch(seqs)
+                calls += 1
+        return calls
 
     def _bucket_plan(self, lens, max_buckets: int, a_max: float):
         """Partition sorted length ranks into <= max_buckets contiguous

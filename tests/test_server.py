@@ -182,6 +182,37 @@ def test_batcher_direct():
     assert sum(calls) == 5 and len(calls) <= 2  # coalesced, not 5 x B=1
 
 
+def test_serving_batch_pow2_padding_and_warmup():
+    """Micro-batches pad to the next power of two so a varying request count
+    reuses one traced shape per pow2 bucket (not one per B), and warmup()
+    pre-populates the cache so the first real call doesn't trace."""
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(model, params, state)
+
+    def seqs(b):
+        return [np.ones((8,), np.int32)] * b
+
+    mel, lens = synth.mel_from_token_batch(seqs(3))
+    assert mel.shape[0] == 3 and lens.shape == (3,)  # pad rows sliced away
+    synth.mel_from_token_batch(seqs(4))
+    (fn,) = synth._jitted.values()
+    assert fn._cache_size() == 1  # B=3 and B=4 share the B_pad=4 trace
+    synth.mel_from_token_batch(seqs(5))
+    assert fn._cache_size() == 2  # B=5 -> B_pad=8: one new trace
+
+    synth2 = Synthesizer(model, params, state)
+    assert synth2.warmup(batch_sizes=(1,), token_lens=(8,)) == 1
+    (fn2,) = synth2._jitted.values()
+    before = fn2._cache_size()
+    synth2.mel_from_token_batch(seqs(1))  # same shape: no new trace
+    assert fn2._cache_size() == before
+
+
 def test_synthesizer_mesh_matches_single_device():
     """Data-parallel inference over the 8-device CPU mesh == single device,
     including a batch size that doesn't divide the mesh."""
