@@ -475,8 +475,10 @@ def main(argv=None):
                     help="local MelGAN checkpoint for wav responses "
                          "(else Griffin-Lim)")
     sp.add_argument("--warmup", action="store_true",
-                    help="pre-compile the common serving shapes before "
-                         "binding the port (first requests skip 20-40s jit)")
+                    help="pre-compile every pow2 batch bucket up to "
+                         "--max_batch at common token lengths before binding "
+                         "the port; unusual token lengths still pay a "
+                         "first-request jit")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("evaluate")

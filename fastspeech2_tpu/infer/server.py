@@ -178,6 +178,12 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 self.close_connection = True
                 self._json(400, {"error": "bad Content-Length"})
                 return None
+            if n < 0:
+                # rfile.read(-1) would block until EOF, pinning the handler
+                # thread; same unreadable-body treatment as unparseable
+                self.close_connection = True
+                self._json(400, {"error": "bad Content-Length"})
+                return None
             if n > self.MAX_BODY:
                 # drain a bounded amount so the client's send() completes and
                 # it can read the 413 (an RST from unread data would eat the

@@ -304,12 +304,22 @@ class Synthesizer:
     def warmup(self, batch_sizes=(1, 16), token_lens=(32, 96)) -> int:
         """Pre-compile the serving shapes so the first real requests don't
         pay 20-40 s of jit each (cold-start is per (B_pad, t_pad, l_pad)
-        shape). Runs dummy batches through the wav path when a vocoder is
+        shape). Because _b_pad rounds to powers of two, every pow2 bucket
+        between min(batch_sizes) and max(batch_sizes) is warmed — not just
+        the endpoints — so intermediate request counts hit a traced shape
+        too. Runs dummy batches through the wav path when a vocoder is
         attached, else the mel path; returns the number of calls made.
         ``serve --warmup`` drives this before binding the port."""
+        lo, hi = max(min(batch_sizes), 1), max(batch_sizes)
+        sizes, b = [], lo
+        while b < hi:
+            sizes.append(self._b_pad(b))
+            b <<= 1
+        sizes.append(self._b_pad(hi))
+        sizes = sorted(set(sizes))
         calls = 0
         for t in token_lens:
-            for b in batch_sizes:
+            for b in sizes:
                 seqs = [np.ones((t,), np.int32)] * b
                 if self.has_vocoder:
                     self.wav_from_token_batch(seqs)

@@ -15,9 +15,11 @@ annotations (no manual collectives -- XLA inserts the all-reduces over ICI):
 - everything else (embeddings, layernorms, predictors, postnet, feat_out)
   is replicated -- those are <10% of FLOPs and parameters.
 
-Pipeline/expert/sequence parallelism are deliberately absent: the model has 8
-FFT blocks and no MoE, so PP/EP have nothing to cut, and sequences are <=
-~900 frames (SURVEY.md 5 "long-context: none") -- DP x TP covers every real
+Sequence parallelism (Megatron-SP) is implemented below (`sequence_sharding`):
+the between-block residual stream shards its time axis over the TP axis.
+Pipeline/expert parallelism are deliberately absent: the model has 8 FFT
+blocks and no MoE, so PP/EP have nothing to cut, and sequences are <= ~900
+frames (SURVEY.md 5 "long-context: none") -- DP x TP x SP covers every real
 deployment of this model family.
 
 Rules are *path-based* (the trailing dict keys identify a projection), so the

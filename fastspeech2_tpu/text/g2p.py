@@ -230,13 +230,17 @@ class LexiconG2p:
                 if base:
                     return base + phones
         if key.endswith("er") and len(key) > 3:
-            base = self._base(key[:-2]) or self._base(key[:-1])
+            base = (self._base(key[:-2]) or self._base(key[:-1])
+                    or (self._base(key[:-3]) if len(key) > 4
+                        and key[-3] == key[-4] else None))  # bigg-er
             if base:
                 return base + ["ER0"]
         if key.endswith("est") and len(key) > 4:
-            base = self._base(key[:-3]) or self._base(key[:-2])
+            base = (self._base(key[:-3]) or self._base(key[:-2])
+                    or (self._base(key[:-4]) if len(key) > 5
+                        and key[-4] == key[-5] else None))  # bigg-est
             if base:
-                return base + ["AH0", "S", "T"]
+                return base + ["IH0", "S", "T"]  # CMUdict: biggest -> ... IH0 S T
         return None
 
     def __call__(self, text: str) -> List[str]:

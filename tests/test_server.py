@@ -135,6 +135,22 @@ def test_stream_bad_input(server):
         assert e.value.code == 400, payload
 
 
+def test_negative_content_length_400(server):
+    """A negative Content-Length must 400 immediately: rfile.read(-1) would
+    read to EOF and pin the handler thread forever (ADVICE r2)."""
+    import http.client
+
+    host, port = server.removeprefix("http://").split(":")
+    c = http.client.HTTPConnection(host, int(port), timeout=30)
+    c.putrequest("POST", "/synthesize")
+    c.putheader("Content-Length", "-5")
+    c.endheaders()
+    r = c.getresponse()
+    assert r.status == 400
+    r.read()
+    c.close()
+
+
 def test_oversized_body_413(server):
     big = json.dumps({"text": "x" * (2 << 20)}).encode()
     req = urllib.request.Request(
@@ -211,6 +227,16 @@ def test_serving_batch_pow2_padding_and_warmup():
     before = fn2._cache_size()
     synth2.mel_from_token_batch(seqs(1))  # same shape: no new trace
     assert fn2._cache_size() == before
+
+    # warmup(1, max_batch) covers EVERY pow2 bucket in between, so
+    # intermediate request counts (B=3 -> B_pad=4) also skip the trace
+    synth3 = Synthesizer(model, params, state)
+    assert synth3.warmup(batch_sizes=(1, 8), token_lens=(8,)) == 4  # 1,2,4,8
+    (fn3,) = synth3._jitted.values()
+    before = fn3._cache_size()
+    for b in (2, 3, 5, 7):  # every intermediate bucket already traced
+        synth3.mel_from_token_batch(seqs(b))
+    assert fn3._cache_size() == before
 
 
 def test_synthesizer_mesh_matches_single_device():

@@ -182,6 +182,18 @@ def test_lexicon_morphological_derivation():
     assert g.lts_count == before + 1
 
 
+def test_lexicon_comparative_superlative_derivation():
+    """-er/-est derive from base entries including doubled-consonant stems
+    (bigger/biggest), and -est matches CMUdict's IH0 S T (not AH0 S T)."""
+    from fastspeech2_tpu.text.g2p import LexiconG2p
+
+    g = LexiconG2p()
+    assert g.lookup("bigger") == g.lookup("big") + ["ER0"]
+    assert g.lookup("biggest") == g.lookup("big") + ["IH0", "S", "T"]
+    assert g.lookup("smallest") == g.lookup("small") + ["IH0", "S", "T"]
+    assert g.lookup("faster") == g.lookup("fast") + ["ER0"]
+
+
 def test_contractions_survive_apostrophe_stripping():
     """The serving pipeline strips apostrophes BEFORE g2p (reference
     cleaners.py:22 parity), so contractions arrive bare ("don't" -> "dont").
