@@ -62,7 +62,12 @@ def cmd_preprocess(args):
             elif wav.dtype == np.int32:
                 wav = wav / 2147483648.0
             assert sr == a.sample_rate, f"{path}: sr {sr} != {a.sample_rate}"
-            signals.append(wav.astype(np.float32))
+            wav = wav.astype(np.float32)
+            if a.peak_norm:  # normalise to the peak of each wav file
+                peak = np.abs(wav).max()
+                if peak > 0:
+                    wav = wav / peak
+            signals.append(wav)
         feats = mel_fn.mel_and_energy_bucketed(signals)
         for path, wav, (mel, e) in zip(paths, signals, feats):
             p = extract_pitch(wav, a.sample_rate, a.hop_length)

@@ -41,7 +41,14 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class AudioConfig:
-    """Feature-extraction parameters (reference default.yaml:19-32)."""
+    """Feature-extraction parameters (reference default.yaml:19-32).
+
+    ``peak_norm`` routes into the preprocess CLI's wav read (per-file peak
+    normalisation). ``mu_law``/``bits``/``min_level_db``/``ref_level_db`` are
+    WaveRNN residue the reference also never reads; they exist so
+    reference-format YAMLs load, and ``validate_config`` rejects non-default
+    values rather than silently ignoring them.
+    """
 
     sample_rate: int = 22050
     fmax: float = 8000.0
@@ -193,6 +200,43 @@ class Config:
         return config_from_dict(yaml.safe_load(s) or {})
 
 
+def validate_config(cfg: Config) -> Config:
+    """Reject values no code path consumes -- a knob that silently does
+    nothing is worse than an error. Runs on every YAML/checkpoint load.
+
+    The reference accepts-and-ignores all of these (``loss_type`` and the
+    WaveRNN-residue audio keys appear in its default.yaml but are read
+    nowhere in its tree); we fail fast instead.
+    """
+    m, a = cfg.model, cfg.audio
+    if m.loss_type != "L1":
+        raise ValueError(
+            f"model.loss_type={m.loss_type!r}: only 'L1' is implemented "
+            "(the reference also hardcodes L1Loss regardless of this key)")
+    if m.use_masking and m.use_weighted_masking:
+        raise ValueError(
+            "model.use_masking and model.use_weighted_masking are mutually "
+            "exclusive (the reference crashes with both set; ESPnet asserts "
+            "exactly this)")
+    if m.reduction_factor != 1:
+        raise ValueError(
+            f"model.reduction_factor={m.reduction_factor}: only 1 is "
+            "implemented (the reference's >1 support is commented out, "
+            "fastspeech.py:275-278)")
+    # Unconsumed WaveRNN-residue audio keys: present for reference-config
+    # compatibility at their defaults, rejected when changed (changing them
+    # would silently do nothing -- no vocoder here reads raw bits/mu-law).
+    defaults = AudioConfig()
+    for name in ("mu_law", "bits", "min_level_db", "ref_level_db"):
+        if getattr(a, name) != getattr(defaults, name):
+            raise ValueError(
+                f"audio.{name}={getattr(a, name)!r}: this key is consumed "
+                "by no code path (WaveRNN residue in the reference config "
+                "too); remove it or keep the default "
+                f"{getattr(defaults, name)!r}")
+    return cfg
+
+
 def _filter_fields(cls, raw: Dict[str, Any]):
     names = {f.name for f in dataclasses.fields(cls)}
     known = {k: v for k, v in raw.items() if k in names}
@@ -219,7 +263,8 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
     for k in raw:
         if k not in ("data", "audio", "model", "train", "extras"):
             extras[k] = raw[k]
-    return Config(data=data, audio=audio, model=model, train=train, extras=extras)
+    return validate_config(
+        Config(data=data, audio=audio, model=model, train=train, extras=extras))
 
 
 def load_config(path: Optional[str] = None) -> Config:

@@ -324,7 +324,7 @@ class FastSpeech2:
             toks = jnp.maximum(jnp.sum(tok_m, axis=1, keepdims=True), 1.0)
             dur_w = tok_m / toks / B
             duration_loss = jnp.sum(jnp.square(d_outs - log_d) * dur_w)
-        else:
+        elif m.use_masking:
             n_mel = jnp.maximum(jnp.sum(mel_m3), 1.0) * self.odim  # selected elements
             before_loss = jnp.sum(jnp.abs(before - batch.ys) * mel_m3) / n_mel
             after_loss = jnp.sum(jnp.abs(after - batch.ys) * mel_m3) / n_mel
@@ -332,11 +332,24 @@ class FastSpeech2:
 
             n_tok = jnp.maximum(jnp.sum(tok_m), 1.0)
             duration_loss = jnp.sum(jnp.square(d_outs - log_d) * tok_m) / n_tok
+        else:
+            # use_masking=False: plain full-tensor means including pad
+            # positions -- the reference skips every masked_select when the
+            # flag is off (fastspeech.py:281-296) and the mean criteria then
+            # reduce over the whole padded batch.
+            before_loss = jnp.mean(jnp.abs(before - batch.ys))
+            after_loss = jnp.mean(jnp.abs(after - batch.ys))
+            l1_loss = before_loss + after_loss
+            duration_loss = jnp.mean(jnp.square(d_outs - log_d))
 
-        mel_m = mel_mask.astype(f)
-        n_frames = jnp.maximum(jnp.sum(mel_m), 1.0)
-        energy_loss = jnp.sum(jnp.square(e_outs - batch.es) * mel_m) / n_frames
-        pitch_loss = jnp.sum(jnp.square(p_outs - batch.ps) * mel_m) / n_frames
+        if m.use_masking or m.use_weighted_masking:
+            mel_m = mel_mask.astype(f)
+            n_frames = jnp.maximum(jnp.sum(mel_m), 1.0)
+            energy_loss = jnp.sum(jnp.square(e_outs - batch.es) * mel_m) / n_frames
+            pitch_loss = jnp.sum(jnp.square(p_outs - batch.ps) * mel_m) / n_frames
+        else:
+            energy_loss = jnp.mean(jnp.square(e_outs - batch.es))
+            pitch_loss = jnp.mean(jnp.square(p_outs - batch.ps))
 
         loss = l1_loss + duration_loss + energy_loss + pitch_loss
         report = {

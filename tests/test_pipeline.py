@@ -280,6 +280,33 @@ def test_shipped_configs_load_and_match_defaults():
     assert speed.to_dict() == ref
 
 
+def test_config_rejects_unconsumed_knobs():
+    """Every Config field either routes somewhere or errors on a non-default
+    value -- no silently-ignored knobs (VERDICT r2 missing #3)."""
+    import pytest
+
+    from fastspeech2_tpu.config import config_from_dict
+
+    config_from_dict({})  # defaults validate
+    for section, key, bad in (("model", "loss_type", "L2"),
+                              ("model", "reduction_factor", 2),
+                              ("audio", "mu_law", False),
+                              ("audio", "bits", 16),
+                              ("audio", "min_level_db", -80.0),
+                              ("audio", "ref_level_db", 16.0)):
+        with pytest.raises(ValueError, match=key):
+            config_from_dict({section: {key: bad}})
+    with pytest.raises(ValueError, match="use_masking"):
+        config_from_dict({"model": {"use_masking": True,
+                                    "use_weighted_masking": True}})
+    # valid flag combinations still load
+    config_from_dict({"model": {"use_masking": False}})
+    config_from_dict({"model": {"use_masking": False,
+                                "use_weighted_masking": True}})
+    # peak_norm is consumed (preprocessing wav read), so non-default is fine
+    assert config_from_dict({"audio": {"peak_norm": True}}).audio.peak_norm
+
+
 def test_alpha_scales_output_buffer_no_truncation(small_model):
     """alpha > 1 must scale the static frame buffer: integer durations double
     exactly under alpha=2, so the slow mel must be exactly 2x frames -- a

@@ -193,6 +193,61 @@ def test_config_variant_parity(variant):
                                atol=2e-4, err_msg=f"{variant}: mel diverges")
 
 
+def test_unmasked_loss_parity():
+    """use_masking=False selects the reference's plain full-tensor loss path
+    (no masked_select, means over padded positions too -- fastspeech.py:281-296
+    with the flag off). Oracle-checked with the flag off on both sides."""
+    import dataclasses
+
+    for mod in ("librosa", "g2p_en", "pyworld"):
+        sys.modules.setdefault(mod, types.ModuleType(mod))
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from fastspeech import FeedForwardTransformer
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, elayers=1, dlayers=1,
+                                       use_masking=False))
+    torch.manual_seed(21)
+    ref_model = FeedForwardTransformer(68, 80, _ns(cfg.to_dict()))
+    ref_model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params, state = params_from_state_dict(sd, cfg)
+    model = FastSpeech2(cfg)
+
+    xs, ilens, ys, olens, ds, es, ps = _rand_batch(seed=29)
+    with torch.no_grad():
+        _, report_t = ref_model.forward(
+            torch.from_numpy(xs), torch.from_numpy(ilens).long(),
+            torch.from_numpy(ys), torch.from_numpy(olens).long(),
+            torch.from_numpy(ds), torch.from_numpy(es), torch.from_numpy(ps))
+    report_t = {k: v for d in report_t for k, v in d.items()}
+    batch = Batch(
+        xs=jnp.asarray(xs, jnp.int32), ilens=jnp.asarray(ilens),
+        ys=jnp.asarray(ys), olens=jnp.asarray(olens),
+        ds=jnp.asarray(ds, jnp.int32), es=jnp.asarray(es), ps=jnp.asarray(ps))
+    _, report_j, _ = model.forward(jax.tree.map(jnp.asarray, params),
+                                   jax.tree.map(jnp.asarray, state),
+                                   batch, training=False)
+    for k in ("before_loss", "after_loss", "l1_loss", "duration_loss",
+              "energy_loss", "pitch_loss", "loss"):
+        np.testing.assert_allclose(
+            float(report_j[k]), float(report_t[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"unmasked loss component {k} diverges")
+
+    # the unmasked losses must actually differ from the masked ones (else the
+    # flag routed nowhere and this test proves nothing)
+    masked_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_masking=True))
+    masked_model = FastSpeech2(masked_cfg)
+    _, report_m, _ = masked_model.forward(
+        jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state),
+        batch, training=False)
+    assert float(report_m["loss"]) != float(report_j["loss"])
+
+
 @pytest.mark.parametrize("extra_pad", [0, 7])
 def test_inference_parity(ref_model_and_cfg, ours, extra_pad):
     """Free-running inference matches the reference bit-for-bit(ish), including
