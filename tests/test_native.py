@@ -114,3 +114,116 @@ def test_bad_args_rejected():
     w = np.zeros(100, np.float32)
     with pytest.raises(RuntimeError):
         native.dio(w, SR, HOP, f0_floor=800.0, f0_ceil=71.0)
+
+
+# -- real speech (the reference's published samples) --------------------------
+#
+# The reference extracts F0 with WORLD DIO (dataset/audio_processing.py:54-70);
+# the hermetic replacements were previously validated on synthetic signals
+# only. These fixtures are real 22.05 kHz speech (LJSpeech-voice TTS output
+# shipped in /root/reference/sample). Measured values this round (PARITY.md
+# "Real-speech F0"): native DIO voiced fraction .89-.98, median F0 183-202 Hz,
+# voiced p5 >= 128 Hz / p95 <= 412 Hz, median |dF0| between consecutive voiced
+# frames 1.0-1.7 Hz; autocorr fallback vf .72-.91, median 165-184 Hz.
+
+import glob
+import os
+
+REF_SAMPLES = sorted(glob.glob("/root/reference/sample/*.wav"))
+
+
+def _real_wavs():
+    from scipy.io.wavfile import read as read_wav
+
+    for path in REF_SAMPLES:
+        sr, w = read_wav(path)
+        assert sr == SR
+        yield os.path.basename(path), (w / 32768.0).astype(np.float32)
+
+
+real_speech = pytest.mark.skipif(not REF_SAMPLES,
+                                 reason="reference samples not mounted")
+
+
+@real_speech
+def test_native_dio_on_real_speech():
+    for name, w in _real_wavs():
+        f0 = native.dio(w, SR, HOP, 71.0, 800.0)
+        assert len(f0) == len(w) // HOP + 1, name  # frame-count contract
+        v = f0[f0 > 0]
+        vf = len(v) / len(f0)
+        assert 0.5 < vf <= 1.0, (name, vf)  # speech, mostly voiced
+        assert 150 < np.median(v) < 250, name  # LJSpeech female voice
+        # voiced-frame F0 stays in the human band (no octave-error tails)
+        assert np.percentile(v, 5) > 60, name
+        assert np.percentile(v, 95) < 450, name
+        # continuity: pitch tracks move smoothly frame to frame
+        both = (f0[:-1] > 0) & (f0[1:] > 0)
+        dv = np.abs(np.diff(f0))[both]
+        assert np.median(dv) < 5.0, name
+        assert (dv > 80).mean() < 0.15, name  # rare voiced-voiced jumps
+
+
+@real_speech
+def test_autocorr_fallback_on_real_speech():
+    """The last-resort pure-Python tracker stays usable on real speech
+    (looser tolerances: it is not DIO-parity and over-halves some frames)."""
+    from fastspeech2_tpu.audio.pitch import _autocorr_pitch
+
+    for name, w in _real_wavs():
+        f0 = _autocorr_pitch(w, SR, HOP)
+        assert len(f0) == len(w) // HOP + 1, name
+        v = f0[f0 > 0]
+        vf = len(v) / len(f0)
+        assert 0.4 < vf <= 1.0, (name, vf)
+        assert 140 < np.median(v) < 250, name
+        assert np.percentile(v, 5) > 60, name
+        assert np.percentile(v, 95) < 500, name
+        both = (f0[:-1] > 0) & (f0[1:] > 0)
+        dv = np.abs(np.diff(f0))[both]
+        assert np.median(dv) < 10.0, name
+
+
+@real_speech
+def test_backends_agree_on_real_speech():
+    """DIO and the autocorr fallback agree where both are voiced -- a gross
+    octave bias in either would show up as a large median delta."""
+    from fastspeech2_tpu.audio.pitch import _autocorr_pitch
+
+    for name, w in _real_wavs():
+        a = native.dio(w, SR, HOP, 71.0, 800.0)
+        b = _autocorr_pitch(w, SR, HOP)
+        both = (a > 0) & (b > 0)
+        assert both.mean() > 0.4, name
+        assert np.median(np.abs(a[both] - b[both])) < 25.0, name
+
+
+def _has_pyworld() -> bool:
+    import importlib.util
+
+    try:  # other tests stub pyworld into sys.modules (spec-less): not real
+        return importlib.util.find_spec("pyworld") is not None
+    except (ImportError, ValueError):
+        return False
+
+
+@real_speech
+@pytest.mark.skipif(
+    not _has_pyworld(),
+    reason="pyworld not importable: A/B vs WORLD DIO auto-activates where it is")
+def test_native_dio_vs_pyworld_real_speech():
+    """Skip-if-absent A/B against the reference's exact extractor: mean |dF0|
+    on commonly-voiced frames must stay small (same algorithm family)."""
+    import pyworld as pw
+
+    for name, w in _real_wavs():
+        ours = native.dio(w, SR, HOP, 71.0, 800.0)
+        theirs, _ = pw.dio(w.astype(np.float64), SR,
+                           frame_period=HOP / SR * 1000)
+        n = min(len(ours), len(theirs))
+        a, b = ours[:n], theirs[:n]
+        both = (a > 0) & (b > 0)
+        assert both.mean() > 0.5, name
+        assert np.mean(np.abs(a[both] - b[both])) < 15.0, name
+        # voicing decisions mostly agree
+        assert ((a > 0) == (b > 0)).mean() > 0.8, name
