@@ -358,14 +358,17 @@ def cmd_average(args):
 
 
 def cmd_golden(args):
-    """Released-checkpoint golden-mel comparison (compat/golden.py): load a
+    """Released-checkpoint golden comparison (compat/golden.py): load a
     reference .pth/.pyt, synthesize the README sentence exactly like
-    reference inference.py, and report MAE vs sample/generated_mel_58k.npy."""
+    reference inference.py, and report MAE vs sample/generated_mel_58k.npy --
+    or, with --vocoder, the fused text->wav path's spectral distance vs the
+    published sample wav (reference inference.py:183-193)."""
     import json
 
-    from fastspeech2_tpu.compat.golden import (GOLDEN_TEXT, compare_to_golden,
-                                               find_released_checkpoint,
-                                               synth_with_torch_checkpoint)
+    from fastspeech2_tpu.compat.golden import (
+        GOLDEN_TEXT, compare_to_golden, compare_to_golden_wav,
+        find_released_checkpoint, synth_wav_with_torch_checkpoints,
+        synth_with_torch_checkpoint)
 
     _setup_logging(None)
     ckpt = args.checkpoint_path or find_released_checkpoint()
@@ -374,10 +377,28 @@ def cmd_golden(args):
             "no released checkpoint found: pass -p, set FS2_RELEASED_CKPT, "
             "or drop one under checkpoints/released/")
     phoneme_strs = args.phonemes.split("|") if args.phonemes else None
-    mel, cfg, step = synth_with_torch_checkpoint(
-        ckpt, text=args.text or GOLDEN_TEXT, phoneme_strs=phoneme_strs)
-    report = compare_to_golden(mel, args.golden)
-    report.update(ckpt=ckpt, step=step)
+    if args.vocoder:
+        from fastspeech2_tpu.vocoder import detect_vocoder_kind
+
+        kind = detect_vocoder_kind(args.vocoder)
+        wav, sr, step = synth_wav_with_torch_checkpoints(
+            ckpt, args.vocoder, kind=kind, text=args.text or GOLDEN_TEXT,
+            phoneme_strs=phoneme_strs)
+        if args.out_wav:
+            from scipy.io.wavfile import write as write_wav
+
+            write_wav(args.out_wav, sr,
+                      (np.clip(wav, -1.0, 1.0) * 32767).astype(np.int16))
+        report = compare_to_golden_wav(wav, sr, kind,
+                                       golden_path=args.golden_wav)
+        report.update(ckpt=ckpt, vocoder=args.vocoder, kind=kind, step=step)
+        if args.out_wav:
+            report["out_wav"] = args.out_wav
+    else:
+        mel, cfg, step = synth_with_torch_checkpoint(
+            ckpt, text=args.text or GOLDEN_TEXT, phoneme_strs=phoneme_strs)
+        report = compare_to_golden(mel, args.golden)
+        report.update(ckpt=ckpt, step=step)
     print(json.dumps(report, indent=1))
 
 
@@ -519,6 +540,15 @@ def main(argv=None):
     from fastspeech2_tpu.compat.golden import GOLDEN_MEL_PATH
 
     sp.add_argument("--golden", default=GOLDEN_MEL_PATH)
+    sp.add_argument("--vocoder", default=None,
+                    help="hub-format MelGAN/WaveGlow checkpoint: compare the "
+                         "fused text->wav output against the published "
+                         "sample wav instead of the golden mel")
+    sp.add_argument("--golden_wav", default=None,
+                    help="override the published sample wav to compare "
+                         "against (default: sample_74k_{melgan,waveglow}.wav)")
+    sp.add_argument("--out_wav", default=None,
+                    help="also write the synthesized wav here")
     sp.set_defaults(fn=cmd_golden)
 
     sp = sub.add_parser("export")

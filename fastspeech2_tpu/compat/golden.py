@@ -102,6 +102,163 @@ def synth_with_torch_checkpoint(
     return mel.T.astype(np.float32), cfg, step
 
 
+# -- golden WAV (vocoded audio) harness ---------------------------------------
+#
+# The reference also publishes vocoded audio for its released checkpoints
+# (``/root/reference/sample/sample_74k_melgan.wav`` etc., reference
+# ``inference.py:183-193``: MelGAN pulled from torch.hub). These mirror the
+# golden-mel flow on the wav side: released acoustic checkpoint + hub-format
+# vocoder checkpoint -> fused text->wav -> spectral distance vs the published
+# sample. Auto-skipping tests live in tests/test_golden_wav.py; one-command:
+#
+#   FS2_RELEASED_CKPT=... FS2_MELGAN_CKPT=... python -m pytest tests/test_golden_wav.py -v
+
+GOLDEN_WAVS = {
+    "melgan": "/root/reference/sample/sample_74k_melgan.wav",
+    "waveglow": "/root/reference/sample/sample_74k_waveglow.wav",
+}
+
+_VOCODER_ENV = {"melgan": "FS2_MELGAN_CKPT", "waveglow": "FS2_WAVEGLOW_CKPT"}
+_VOCODER_GLOBS = {
+    "melgan": ["/root/repo/checkpoints/melgan/*.p*t*",
+               "/root/checkpoints/melgan*.p*t*"],
+    "waveglow": ["/root/repo/checkpoints/waveglow/*.p*t*",
+                 "/root/checkpoints/waveglow*.p*t*"],
+}
+
+
+def find_vocoder_checkpoint(kind: str) -> Optional[str]:
+    """Path of a vocoder checkpoint of the given kind, or None.
+
+    ``FS2_MELGAN_CKPT`` / ``FS2_WAVEGLOW_CKPT`` override; an explicitly-set
+    path that doesn't exist raises rather than silently skipping."""
+    env = os.environ.get(_VOCODER_ENV[kind])
+    if env:
+        if not os.path.exists(env):
+            raise FileNotFoundError(f"{_VOCODER_ENV[kind]}={env!r} does not exist")
+        return env
+    for pattern in _VOCODER_GLOBS[kind]:
+        hits = sorted(glob.glob(pattern, recursive=True))
+        if hits:
+            return hits[0]
+    return None
+
+
+def synth_wav_with_torch_checkpoints(
+    acoustic_ckpt: str,
+    vocoder_ckpt: str,
+    kind: str = "auto",
+    text: str = GOLDEN_TEXT,
+    phoneme_strs: Optional[List[str]] = None,
+    g2p=None,
+    melgan_cfg=None,
+) -> Tuple[np.ndarray, int, int]:
+    """Reference acoustic checkpoint + hub-format vocoder checkpoint + text
+    -> (wav float32 [-1,1], sample_rate, step).
+
+    Mirrors the reference's full audio path (``inference.py:133-201``): config
+    from the embedded ``hp_str``, per-sentence synthesis, sentence wavs
+    concatenated. MelGAN runs on the fused text->wav device path
+    (``Synthesizer.attach_vocoder``); WaveGlow (noise-sampling) runs as its
+    own device program (``attach_vocoder_fn``).
+
+    melgan_cfg: a ``vocoder.MelGANConfig`` for non-default generators (the
+    stand-in test checkpoints are narrower than the hub's base=512).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.compat.torch_loader import load_torch_checkpoint
+    from fastspeech2_tpu.infer.synthesize import Synthesizer
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.text import phonemes_to_sequence
+    from fastspeech2_tpu.text.g2p import preprocess_text, process_paragraph
+    from fastspeech2_tpu.vocoder import detect_vocoder_kind
+
+    params, state, cfg, step = load_torch_checkpoint(acoustic_ckpt)
+    model = FastSpeech2(cfg)
+    synth = Synthesizer(model, jax.tree.map(jnp.asarray, params),
+                        jax.tree.map(jnp.asarray, state),
+                        matmul_precision="highest")
+    if kind == "auto":
+        kind = detect_vocoder_kind(vocoder_ckpt)
+    if kind == "melgan":
+        from fastspeech2_tpu.vocoder import MelGANGenerator, load_melgan_params
+        from fastspeech2_tpu.vocoder.melgan import melgan_config_from_checkpoint
+
+        mcfg = (melgan_cfg if melgan_cfg is not None
+                else melgan_config_from_checkpoint(vocoder_ckpt))
+        synth.attach_vocoder(MelGANGenerator(mcfg),
+                             load_melgan_params(vocoder_ckpt, mcfg))
+    elif kind == "waveglow":
+        from fastspeech2_tpu.vocoder import load_waveglow
+
+        synth.attach_vocoder_fn(load_waveglow(vocoder_ckpt))
+    else:
+        raise ValueError(f"unknown vocoder kind {kind!r}")
+
+    if phoneme_strs is None:
+        sentences = [s for s in process_paragraph(text) if s.strip()]
+        phoneme_strs = [preprocess_text(s, g2p=g2p) for s in sentences]
+    pieces = []
+    for p in phoneme_strs:
+        if not p:
+            continue
+        seq = np.asarray(phonemes_to_sequence(p), np.int32)
+        _, wav, wav_lens = synth.wav_from_token_batch([seq])
+        pieces.append(np.asarray(wav[0, : int(wav_lens[0])]))
+    if not pieces:
+        raise ValueError(f"input produced no phonemes: {text!r}")
+    wav = np.concatenate(pieces)
+    if wav.dtype == np.int16:  # the fused MelGAN path emits int16 PCM
+        wav = wav.astype(np.float32) / 32768.0
+    return wav.astype(np.float32), cfg.audio.sample_rate, step
+
+
+def log_mel_distance(wav_a: np.ndarray, wav_b: np.ndarray,
+                     sample_rate: int = 22050) -> dict:
+    """Spectral distance between two waveforms: L1/RMS over log-mel frames
+    (the domain the acoustic model is trained in), computed with the
+    framework's own reference-parity mel extractor over the overlapping
+    prefix. Also reports the duration ratio -- a tokenization drift shows up
+    there, not in the spectral numbers."""
+    from fastspeech2_tpu.audio.stft import MelSpectrogram
+
+    mel_fn = MelSpectrogram(sample_rate, 1024, 256, 1024, 80, 0.0, 8000.0)
+
+    def logmel(w):
+        m, _ = mel_fn.mel_and_energy(np.asarray(w, np.float32)[None])
+        return np.asarray(m)[0]  # (n_mels, frames)
+
+    a, b = logmel(wav_a), logmel(wav_b)
+    frames = min(a.shape[1], b.shape[1])
+    d = a[:, :frames] - b[:, :frames]
+    return {
+        "frames_compared": int(frames),
+        "duration_ratio": float(len(wav_a) / max(len(wav_b), 1)),
+        "log_mel_l1": float(np.mean(np.abs(d))),
+        "log_mel_rms": float(np.sqrt(np.mean(d ** 2))),
+    }
+
+
+def compare_to_golden_wav(wav: np.ndarray, sample_rate: int,
+                          kind: str = "melgan",
+                          golden_path: Optional[str] = None) -> dict:
+    """Spectral-distance report of a synthesized wav vs the published sample
+    (``sample_74k_melgan.wav`` / ``sample_74k_waveglow.wav``)."""
+    from scipy.io.wavfile import read as read_wav
+
+    path = golden_path or GOLDEN_WAVS[kind]
+    sr, golden = read_wav(path)
+    if golden.dtype == np.int16:
+        golden = golden / 32768.0
+    report = {"golden_path": path, "golden_sr": int(sr),
+              "sr_match": int(sr) == int(sample_rate),
+              "golden_samples": int(len(golden)), "samples": int(len(wav))}
+    report.update(log_mel_distance(wav, golden.astype(np.float32), sample_rate))
+    return report
+
+
 def compare_to_golden(mel: np.ndarray,
                       golden_path: str = GOLDEN_MEL_PATH) -> dict:
     """MAE/shape report of an (n_mels, frames) mel vs the golden artifact.

@@ -254,6 +254,12 @@ def load_melgan_params(path: str, cfg: MelGANConfig = MelGANConfig()):
     """Load a seungwonpark/melgan-format torch checkpoint into our params
     pytree (device arrays). Use with ``MelGANGenerator`` directly — e.g. the
     fused ``Synthesizer.attach_vocoder`` path that keeps the mel on device."""
+    sd = _melgan_state_dict(path)
+    params = melgan_params_from_torch(sd, cfg)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _melgan_state_dict(path: str):
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -261,10 +267,18 @@ def load_melgan_params(path: str, cfg: MelGANConfig = MelGANConfig()):
     for key in ("model_g", "generator", "model", "state_dict"):
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]
-    sd = {k: np.asarray(v) for k, v in sd.items()
-          if hasattr(v, "__array__") or hasattr(v, "numpy")}
-    params = melgan_params_from_torch(sd, cfg)
-    return jax.tree.map(jnp.asarray, params)
+    return {k: np.asarray(v) for k, v in sd.items()
+            if hasattr(v, "__array__") or hasattr(v, "numpy")}
+
+
+def melgan_config_from_checkpoint(path: str) -> MelGANConfig:
+    """Infer (n_mels, base_channels) from the first conv's weight shape --
+    the hub checkpoint is the default (80, 512); locally-trained narrower
+    generators load without a hand-written config."""
+    sd = _melgan_state_dict(path)
+    key = next(k for k in ("1.weight_v", "generator.1.weight_v") if k in sd)
+    out_ch, in_ch, _ = sd[key].shape  # Conv1d (out, in, k)
+    return MelGANConfig(n_mels=int(in_ch), base_channels=int(out_ch))
 
 
 def _fold_weight_norm(sd: Dict[str, np.ndarray], base: str) -> np.ndarray:
