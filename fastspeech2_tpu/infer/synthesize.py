@@ -202,6 +202,18 @@ class Synthesizer:
                 self._jitted_wav[key] = jax.jit(infer_wav)
         return self._jitted_wav[key]
 
+    def _host(self, *arrays):
+        """Device outputs -> host numpy. Multi-process serving: outputs are
+        sharded across hosts (out_shardings=data), so np.asarray would raise
+        'not fully addressable' -- all-gather them instead (a collective:
+        every host calls the batch methods in lockstep with identical
+        inputs, the serving contract)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from fastspeech2_tpu.parallel.mesh import gather_to_host
+
+            return gather_to_host(list(arrays), self.mesh)
+        return [np.asarray(a) for a in arrays]
+
     def _b_pad(self, B: int) -> int:
         """Pad serving micro-batches to the next power of two (and to the
         data-mesh multiple): a varying request count would otherwise retrace
@@ -272,9 +284,8 @@ class Synthesizer:
         mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
             self.params, self.state, self._voc_params,
             jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(alphas))
-        out_lens = np.asarray(out_lens)[:B]
-        return (np.asarray(mel)[:B], np.asarray(wav)[:B],
-                out_lens * self._voc.cfg.hop_length)
+        mel, wav, out_lens = self._host(mel, wav, out_lens)
+        return (mel[:B], wav[:B], out_lens[:B] * self._voc.cfg.hop_length)
 
     def mel_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
@@ -299,7 +310,8 @@ class Synthesizer:
         mel, out_lens, _ = self._fn(t_pad, l_pad)(
             self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens),
             jnp.asarray(alphas))
-        return np.asarray(mel)[:B], np.asarray(out_lens)[:B]
+        mel, out_lens = self._host(mel, out_lens)
+        return mel[:B], out_lens[:B]
 
     def warmup(self, batch_sizes=(1, 16), token_lens=(32, 96)) -> int:
         """Pre-compile the serving shapes so the first real requests don't

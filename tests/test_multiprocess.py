@@ -185,6 +185,76 @@ def test_two_process_train_loop(tmp_path):
                           "train_metrics.jsonl")
 
 
+SERVE_WORKER = r"""
+import json, os, sys
+pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+import jax.numpy as jnp
+import numpy as np
+from fastspeech2_tpu.parallel.mesh import initialize_multihost
+initialize_multihost(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.device_count() == 4, jax.device_count()
+
+from test_train import tiny_config
+from fastspeech2_tpu.infer.synthesize import Synthesizer
+from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+from fastspeech2_tpu.train.step import make_mesh
+
+cfg = tiny_config()
+model = FastSpeech2(cfg)
+params, state = model.init(jax.random.PRNGKey(0))
+params["duration_predictor"]["out"]["b"] = jnp.full_like(
+    params["duration_predictor"]["out"]["b"], 1.0)
+synth = Synthesizer(model, params, state, mesh=make_mesh())
+g = np.random.default_rng(11)
+seqs = [np.asarray(g.integers(1, 68, n), np.int32) for n in (5, 9, 7)]
+mel, lens = synth.mel_from_token_batch(seqs)          # every host: same input
+mel2, lens2 = synth.mel_from_token_batch(seqs, alpha=1.0)  # second call: jit reuse
+assert np.array_equal(lens, lens2) and np.allclose(mel, mel2)
+json.dump({"lens": [int(x) for x in lens],
+           "mel_sum": float(np.abs(mel).sum()),
+           "mel_probe": [float(mel[i, 0, 0]) for i in range(len(seqs))]},
+          open(out, "w"))
+print(f"proc {pid} serve ok", flush=True)
+"""
+
+
+def test_two_process_serving_matches_single_host(tmp_path):
+    """Sharded inference on a REAL 2-process cluster (the multi-host `serve`
+    layout: params replicated, batch sharded over the global 'data' mesh,
+    outputs all-gathered back to every host) reproduces the single-host
+    Synthesizer exactly."""
+    import jax.numpy as jnp
+
+    from fastspeech2_tpu.infer.synthesize import Synthesizer
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from test_train import tiny_config
+
+    cfg = tiny_config()
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["duration_predictor"]["out"]["b"] = jnp.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+    synth = Synthesizer(model, params, state)
+    g = np.random.default_rng(11)
+    seqs = [np.asarray(g.integers(1, 68, n), np.int32) for n in (5, 9, 7)]
+    ref_mel, ref_lens = synth.mel_from_token_batch(seqs)
+
+    script = tmp_path / "serve_worker.py"
+    script.write_text(SERVE_WORKER)
+    _run_cluster(script, [str(tmp_path / "serve__PID__.json")], tmp_path)
+
+    for pid in (0, 1):
+        r = json.load(open(tmp_path / f"serve{pid}.json"))
+        assert r["lens"] == [int(x) for x in ref_lens], (pid, r["lens"])
+        np.testing.assert_allclose(
+            r["mel_sum"], float(np.abs(ref_mel).sum()), rtol=1e-5)
+        np.testing.assert_allclose(
+            r["mel_probe"], ref_mel[:, 0, 0], rtol=1e-4, atol=1e-5)
+
+
 PREEMPT_WORKER = r"""
 import json, os, signal, sys, threading
 pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
