@@ -117,6 +117,8 @@ cells.append(nbf.v4.new_markdown_cell("""\
 - `docs/MIGRATION.md` — the workflow map for users of the PyTorch reference."""))
 
 nb["cells"] = cells
+for i, cell in enumerate(nb["cells"]):
+    cell["id"] = f"cell-{i:02d}"  # deterministic: byte-reproducible output
 nb["metadata"]["kernelspec"] = {
     "display_name": "Python 3", "language": "python", "name": "python3"}
 out = os.path.join(os.path.dirname(__file__), "demo.ipynb")

@@ -132,17 +132,25 @@ class TTSDataset:
 
 def write_fake_feature_store(
     root: str, n_utts: int = 8, n_mels: int = 80, seed: int = 0,
-    min_tokens: int = 6, max_tokens: int = 16,
+    min_tokens: int = 6, max_tokens: int = 16, graphemes: bool = False,
 ) -> str:
     """Generate a tiny synthetic dataset (filelist + mels/energy/pitch .npy)
-    for hermetic tests and benchmarks. Returns the filelist path."""
+    for hermetic tests and benchmarks. Returns the filelist path.
+
+    graphemes=True writes plain lowercase letters into the text field (one
+    duration per character, the ``use_phonemes=False`` contract the reference
+    inherits from its filelists, dataset/dataloader.py:50-53) instead of
+    ARPAbet symbols."""
     from fastspeech2_tpu.text.symbols import valid_symbols
 
     g = np.random.default_rng(seed)
     for sub in ("mels", "energy", "pitch"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     lines = []
-    usable = [s for s in valid_symbols if s not in ("sil", "spn")]
+    if graphemes:
+        usable = list("abcdefghijklmnopqrstuvwxyz")
+    else:
+        usable = [s for s in valid_symbols if s not in ("sil", "spn")]
     for i in range(n_utts):
         utt = f"FAKE-{i:04d}"
         T = int(g.integers(min_tokens, max_tokens + 1))
@@ -157,9 +165,10 @@ def write_fake_feature_store(
         np.save(os.path.join(root, "energy", f"{utt}.npy"), energy)
         np.save(os.path.join(root, "pitch", f"{utt}.npy"), pitch)
         starts = np.concatenate([[0], np.cumsum(durs)[:-1]])
+        text_field = "".join(phonemes) if graphemes else " ".join(phonemes)
         lines.append("|".join([
             "fake text", " ".join(map(str, starts)), " ".join(map(str, durs)),
-            " ".join(phonemes), f"{utt}.wav",
+            text_field, f"{utt}.wav",
         ]))
     filelist = os.path.join(root, "filelist.txt")
     with open(filelist, "w", encoding="utf-8") as f:

@@ -315,3 +315,54 @@ def test_data_parallel_step_matches_single_device(setup):
     # cross-device reduction order perturbs grads at float eps; Adam's rsqrt
     # normalization amplifies that for near-zero grads -- 1e-4 is benign
     assert max(jax.tree.leaves(diffs)) < 5e-4
+
+
+def test_grapheme_path_end_to_end(tmp_path):
+    """use_phonemes=False trains and synthesizes through the grapheme
+    vocabulary (text_to_sequence), proving the reference's train-time
+    grapheme option (dataset/dataloader.py:50-53) composes end-to-end here:
+    finite losses over real steps, then a mel from character input."""
+    import dataclasses
+
+    from fastspeech2_tpu.config import DataConfig
+    from fastspeech2_tpu.data.dataset import write_fake_feature_store
+    from fastspeech2_tpu.infer.synthesize import Synthesizer
+    from fastspeech2_tpu.text import text_to_sequence
+    from fastspeech2_tpu.train.loop import train
+
+    root = str(tmp_path / "store")
+    filelist = write_fake_feature_store(root, n_utts=8, seed=6,
+                                        graphemes=True)
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(data_dir=root, train_filelist=filelist,
+                        valid_filelist=filelist),
+        train=dataclasses.replace(cfg.train, accum_grad=1, batch_size=4,
+                                  use_phonemes=False, save_interval=4,
+                                  validation_step=2, summary_interval=2))
+    ts = train(cfg, "graph", str(tmp_path / "out"), max_steps=4,
+               data_dir=root)
+    assert int(jax.device_get(ts.step)) == 4
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree.leaves(jax.device_get(ts.params)))
+    # the logged losses were finite too (train writes metrics JSONL)
+    import json
+
+    metrics = [json.loads(ln) for ln in open(
+        tmp_path / "out" / "logs" / "graph" / "train_metrics.jsonl")]
+    assert metrics and all(np.isfinite(m["loss"]) for m in metrics
+                           if "loss" in m)
+
+    # synth through the SAME grapheme tokenization the dataset used
+    model = FastSpeech2(cfg)
+    params = jax.device_get(ts.params)
+    params["duration_predictor"]["out"]["b"] = np.full_like(
+        params["duration_predictor"]["out"]["b"], 1.0)
+    synth = Synthesizer(model, params, jax.device_get(ts.model_state))
+    ids = np.asarray(text_to_sequence("hello world",
+                                      cfg.data.tts_cleaner_names, False),
+                     np.int32)
+    mel, lens = synth.mel_from_token_batch([ids])
+    assert mel.shape[0] == 1 and mel.shape[2] == 80
+    assert int(lens[0]) > 0 and np.all(np.isfinite(mel))
