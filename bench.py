@@ -34,6 +34,70 @@ def _baseline(key):
         return 0.0
 
 
+#: dense peak FLOP/s by TPU generation (bf16 MXU; public spec sheets). The
+#: bench speed path runs bf16 matmuls, so MFU = achieved / bf16 peak.
+_PEAK_BF16 = (
+    ("v6", 918e12), ("trillium", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5litepod", 197e12),
+    ("v4", 275e12),
+)
+
+
+def peak_flops_per_s() -> float:
+    """bf16 peak of the attached chip, or 0.0 when unknown (CPU: no MFU)."""
+    if jax.default_backend() != "tpu":
+        return 0.0
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return 0.0
+
+
+def model_flops(cfg, token_lens, frame_lens) -> float:
+    """Analytic forward FLOPs (2 x MAC) of one batched inference call, on the
+    TRUE lengths (the length-adaptive kernels skip padding, so useful FLOPs
+    is the honest numerator for MFU). Counts every matmul/conv: FFT blocks
+    (QKV/out projections, scores+context, conv-FFN k x 1), decoder input
+    linear, duration/energy/pitch predictors, one-hot variance embeddings,
+    feat_out, postnet. Elementwise/LN/softmax FLOPs are omitted (<1%)."""
+    m = cfg.model
+    da, dd = m.adim, m.ddim
+    k = m.positionwise_conv_kernel_size
+    eu, du = m.eunits, m.dunits
+    dc = m.duration_predictor_chans
+    vc, vbins = 256, m.variance_n_bins  # variance_predictor.py:103-109
+    pc, pk, pl = m.postnet_chans, m.postnet_filts, m.postnet_layers
+    odim = cfg.audio.num_mels
+    total = 0.0
+    for T, L in zip(np.asarray(token_lens), np.asarray(frame_lens)):
+        T, L = float(T), float(L)
+        # encoder FFT blocks
+        total += m.elayers * 2 * (4 * da * da * T + 2 * T * T * da
+                                  + (k * da * eu + eu * da) * T)
+        # duration predictor: 2 conv(k=3) + linear head
+        total += 2 * (3 * da * dc + 3 * dc * dc + dc) * T
+        # variance predictors (energy + pitch) on frames
+        total += 2 * 2 * (3 * da * vc + 3 * vc * vc + vc) * L
+        # one-hot pitch/energy embeddings: (L, n_bins) @ (n_bins, adim)
+        total += 2 * 2 * vbins * da * L
+        # decoder input linear + FFT blocks
+        total += 2 * da * dd * L
+        total += m.dlayers * 2 * (4 * dd * dd * L + 2 * L * L * dd
+                                  + (k * dd * du + du * dd) * L)
+        # feat_out + postnet (pl convs: odim->pc, (pl-2)x pc->pc, pc->odim)
+        total += 2 * dd * odim * L
+        total += 2 * pk * (odim * pc + (pl - 2) * pc * pc + pc * odim) * L
+    return total
+
+
+def _median_iqr(xs):
+    xs = np.asarray(xs, np.float64)
+    q1, med, q3 = np.percentile(xs, [25, 50, 75])
+    return float(med), float(q3 - q1)
+
+
 def bench_train():
     """Full-size train-step timing; returns (step_ms, vs_baseline, extra)."""
     from fastspeech2_tpu.config import Config
@@ -65,30 +129,47 @@ def bench_train():
     step_fn = jax.jit(make_train_step(model, optimizer, accum_grad=1, bf16=bf16))
     # pre-split keys: a fold_in inside the timing loop would add a separate
     # tiny dispatch per step (measured +60 ms/step over the axon tunnel)
-    rngs = list(jax.random.split(jax.random.PRNGKey(1), 21))
+    windows, reps = 5, 4
+    rngs = list(jax.random.split(jax.random.PRNGKey(1), windows * reps + 1))
     ts, report = step_fn(ts, batch, rngs[0])  # compile + warmup
     float(np.asarray(report["loss"]))
 
-    reps = 20
-    t0 = time.perf_counter()
-    for i in range(reps):
-        ts, report = step_fn(ts, batch, rngs[i + 1])
-    # force the final result: loss_i depends on ts_{i-1}, so pulling the last
-    # scalar to the host serializes the whole chain. block_until_ready alone
-    # can return EARLY on tunneled backends (verify skill: a 42 ms step once
-    # "measured" 2.9 ms that way).
-    final_loss = float(np.asarray(report["loss"]))
-    step_ms = (time.perf_counter() - t0) / reps * 1000.0
+    # median over independent windows: single-window numbers wobble with
+    # host-dispatch variance over the tunnel (PARITY.md r2: 1.6-1.76M band
+    # made round-over-round serving deltas pure noise)
+    window_ms, final_loss, i = [], 0.0, 0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            i += 1
+            ts, report = step_fn(ts, batch, rngs[i])
+        # force the final result: loss_i depends on ts_{i-1}, so pulling the
+        # last scalar to the host serializes the window's chain.
+        # block_until_ready alone can return EARLY on tunneled backends
+        # (verify skill: a 42 ms step once "measured" 2.9 ms that way).
+        final_loss = float(np.asarray(report["loss"]))
+        window_ms.append((time.perf_counter() - t0) / reps * 1000.0)
+    step_ms, iqr_ms = _median_iqr(window_ms)
 
     base_s = _baseline("torch_cpu_train_step_s")
     vs = (base_s * 1000.0) / step_ms if base_s else 0.0
     frames_per_s = B * L / (step_ms / 1000.0)
-    return step_ms, vs, {
+    # fwd + bwd ~= 3x forward FLOPs; the train batch is fully dense
+    # (ilens=T, olens=L), so padded == useful
+    flops_step = 3.0 * model_flops(cfg, [T] * B, [L] * B)
+    peak = peak_flops_per_s()
+    extra = {
         "train_mel_frames_per_s": round(frames_per_s, 1),
         "train_shape": f"B{B}xT{T}xL{L}",
         "bf16": bf16,
         "final_loss": round(final_loss, 4),
+        "train_step_ms_windows": [round(w, 2) for w in window_ms],
+        "train_step_ms_iqr": round(iqr_ms, 2),
+        "train_flops_per_step": flops_step,
     }
+    if peak:
+        extra["mfu_train"] = round(flops_step / (step_ms / 1e3) / peak, 4)
+    return step_ms, vs, extra
 
 
 def main():
@@ -133,37 +214,54 @@ def main():
 
     mel, out_lens = infer(params, state, xs, ilens)  # compile + warmup
     jax.block_until_ready(mel)
-    frames_per_call = int(np.asarray(out_lens).sum())
+    out_lens_h = np.asarray(out_lens)
+    frames_per_call = int(out_lens_h.sum())
+    flops_per_call = model_flops(cfg, np.asarray(ilens), out_lens_h)
 
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mel, out_lens = infer(params, state, xs, ilens)
-    jax.block_until_ready(mel)
-    dt = time.perf_counter() - t0
-
-    fps = frames_per_call * reps / dt
+    # median over independent windows (see bench_train: single-window
+    # numbers ride the tunnel's host-dispatch variance band)
+    windows, reps = 5, 4
+    window_fps = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            mel, out_lens = infer(params, state, xs, ilens)
+        # np.asarray forces a real device->host read of the final output
+        # (block_until_ready can return early on tunneled backends)
+        np.asarray(out_lens)
+        dt = time.perf_counter() - t0
+        window_fps.append(frames_per_call * reps / dt)
+    fps, fps_iqr = _median_iqr(window_fps)
     audio_sps = fps * cfg.audio.hop_length / cfg.audio.sample_rate
 
     baseline_fps = _baseline("torch_cpu_mel_frames_per_s")
     vs = fps / baseline_fps if baseline_fps else 0.0
+    peak = peak_flops_per_s()
 
     train_ms, train_vs, train_extra = bench_train()
 
+    extra = {
+        "audio_seconds_per_s": round(audio_sps, 2),
+        "frames_per_call": frames_per_call,
+        "platform": str(jax.devices()[0].platform),
+        "device": str(jax.devices()[0].device_kind),
+        "serving_fps_windows": [round(f, 1) for f in window_fps],
+        "serving_fps_iqr": round(fps_iqr, 1),
+        "serving_flops_per_call": flops_per_call,
+        "train_step_ms": round(train_ms, 2),
+        "train_vs_baseline": round(train_vs, 1),
+        **train_extra,
+    }
+    if peak:
+        extra["mfu_serving"] = round(
+            flops_per_call * (fps / frames_per_call) / peak, 4)
+        extra["peak_bf16_flops_per_s"] = peak
     print(json.dumps({
         "metric": "inference_mel_frames_per_s_per_chip_b32",
         "value": round(fps, 1),
         "unit": "mel-frames/s",
         "vs_baseline": round(vs, 2),
-        "extra": {
-            "audio_seconds_per_s": round(audio_sps, 2),
-            "frames_per_call": frames_per_call,
-            "platform": str(jax.devices()[0].platform),
-            "device": str(jax.devices()[0].device_kind),
-            "train_step_ms": round(train_ms, 2),
-            "train_vs_baseline": round(train_vs, 1),
-            **train_extra,
-        },
+        "extra": extra,
     }))
 
 
