@@ -1,0 +1,147 @@
+"""Per-op device-time breakdown of the serving step (VERDICT r2 #8).
+
+Runs the bench serving workload (full-size model, B=32, valid-filelist
+phonemes, bf16-on-TPU) under a jax.profiler trace and prints device-side op
+durations grouped by fusion/kernel name, so the "31% XLA residue" from the
+round-2 profile is attributable line by line.
+
+    python scripts/profile_serving.py [--out /tmp/fs2_profile] [--reps 8]
+
+Wall timing over the axon tunnel is dispatch-noise; this reads the trace's
+device-track events (the same methodology PARITY.md's round-2 numbers used).
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_workload():
+    from fastspeech2_tpu.config import Config
+    from fastspeech2_tpu.data.filelist import parse_filelist
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.ops.precision import compute_dtype
+    from fastspeech2_tpu.text import phonemes_to_sequence
+
+    cfg = Config()
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    params["duration_predictor"]["out"]["b"] = (
+        jnp.full_like(params["duration_predictor"]["out"]["b"], 1.87))
+    entries = parse_filelist("/root/reference/filelists/valid_filelist.txt")
+    seqs = [np.asarray(phonemes_to_sequence(e.phonemes), np.int32)
+            for e in entries]
+    B, T, L = 32, 128, 896
+    xs = np.zeros((B, T), np.int32)
+    ilens = np.zeros((B,), np.int32)
+    for i in range(B):
+        s = seqs[i % len(seqs)][:T]
+        xs[i, : len(s)] = s
+        ilens[i] = len(s)
+    bf16 = jax.default_backend() == "tpu"
+
+    @jax.jit
+    def infer(params, state, xs, ilens):
+        with compute_dtype(jnp.bfloat16 if bf16 else None):
+            mel, out_lens, _ = model.inference(params, state, xs, ilens,
+                                               out_maxlen=L)
+        return mel, out_lens
+
+    return infer, (params, state, jnp.asarray(xs), jnp.asarray(ilens))
+
+
+def device_op_table(trace_dir):
+    """Parse the perfetto trace: sum complete-event durations per op name on
+    device (non-host) tracks. Returns {name: (total_us, count)}."""
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # pid -> process name, to keep device tracks and drop python/host threads
+    pnames = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+    table = defaultdict(lambda: [0.0, 0])
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        pname = pnames.get(e.get("pid"), "")
+        if not ("TPU" in pname or "/device:" in pname or "XLA Ops" in pname
+                or "TensorFlow Ops" in pname):
+            continue
+        name = e.get("name", "?")
+        table[name][0] += e["dur"]
+        table[name][1] += 1
+    return {k: (v[0], v[1]) for k, v in table.items()}
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
+        return "pallas kernel"
+    if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")):
+        return "xla fusion"
+    if "conv" in n:
+        return "xla conv"
+    if "dot" in n or "gemm" in n:
+        return "xla dot"
+    if any(t in n for t in ("copy", "transpose", "bitcast", "reshape")):
+        return "layout"
+    if any(t in n for t in ("sort", "scatter", "gather", "iota", "cumsum")):
+        return "gather/sort"
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/fs2_profile")
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--top", type=int, default=30)
+    args = ap.parse_args()
+
+    infer, wargs = build_workload()
+    mel, out_lens = infer(*wargs)  # compile + warmup
+    np.asarray(out_lens)
+
+    os.makedirs(args.out, exist_ok=True)
+    with jax.profiler.trace(args.out):
+        for _ in range(args.reps):
+            mel, out_lens = infer(*wargs)
+        np.asarray(out_lens)  # force: serialize the chain into the trace
+
+    time.sleep(1.0)  # trace writer flush
+    table = device_op_table(args.out)
+    total = sum(us for us, _ in table.values())
+    rows = sorted(table.items(), key=lambda kv: -kv[1][0])[: args.top]
+    print(f"\ndevice total {total / args.reps / 1000.0:.3f} ms/call over "
+          f"{args.reps} reps ({len(table)} distinct ops)\n")
+    print(f"{'us/call':>9}  {'%':>5}  {'n':>4}  class          name")
+    for name, (us, cnt) in rows:
+        print(f"{us / args.reps:9.1f}  {100 * us / total:5.1f}  "
+              f"{cnt // args.reps:4d}  {classify(name):13s}  {name[:90]}")
+    by_class = defaultdict(float)
+    for name, (us, _) in table.items():
+        by_class[classify(name)] += us
+    print("\nby class:")
+    for cls, us in sorted(by_class.items(), key=lambda kv: -kv[1]):
+        print(f"  {cls:14s} {us / args.reps:9.1f} us/call  "
+              f"{100 * us / total:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
