@@ -61,9 +61,18 @@ def build_workload():
     return infer, (params, state, jnp.asarray(xs), jnp.asarray(ilens))
 
 
+#: trace noise that is scheduling/bookkeeping, not op execution
+_NON_OPS = ("ThreadpoolListener", "SlinkyThreadPool", "ThunkExecutor",
+            "end: ", "PjRt", "PjitFunction", "ParseArguments",
+            "PythonRefManager", "CollectGarbage")
+
+
 def device_op_table(trace_dir):
     """Parse the perfetto trace: sum complete-event durations per op name on
-    device (non-host) tracks. Returns {name: (total_us, count)}."""
+    device/XLA-executor tracks. Returns {name: (total_us, count)}.
+
+    TPU: op events live on a '/device:TPU:N' process ('XLA Ops' threads).
+    CPU: they live on the host process's 'tf_XLA*' executor threads."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -71,20 +80,25 @@ def device_op_table(trace_dir):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"]
-    # pid -> process name, to keep device tracks and drop python/host threads
-    pnames = {}
+    pnames, tnames = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pnames[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     table = defaultdict(lambda: [0.0, 0])
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         pname = pnames.get(e.get("pid"), "")
-        if not ("TPU" in pname or "/device:" in pname or "XLA Ops" in pname
-                or "TensorFlow Ops" in pname):
+        tname = tnames.get((e.get("pid"), e.get("tid")), "")
+        on_device = "TPU" in pname or "/device:" in pname
+        on_xla_exec = tname.startswith("tf_XLA") or "XLA Ops" in tname
+        if not (on_device or on_xla_exec):
             continue
         name = e.get("name", "?")
+        if any(name.startswith(t) or t in name for t in _NON_OPS):
+            continue
         table[name][0] += e["dur"]
         table[name][1] += 1
     return {k: (v[0], v[1]) for k, v in table.items()}
