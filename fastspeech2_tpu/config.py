@@ -196,30 +196,43 @@ class Config:
     @staticmethod
     def from_yaml(s: str) -> "Config":
         """Rebuild from a checkpoint-embedded snapshot
-        (== reference ``load_hparam_str``, utils/hparams.py:5-11)."""
-        return config_from_dict(yaml.safe_load(s) or {})
+        (== reference ``load_hparam_str``, utils/hparams.py:5-11).
+        Dead-knob validation downgrades to warnings here: a trained
+        checkpoint must load even if its snapshot carries one."""
+        return config_from_dict(yaml.safe_load(s) or {}, strict=False)
 
 
-def validate_config(cfg: Config) -> Config:
+def validate_config(cfg: Config, strict: bool = True) -> Config:
     """Reject values no code path consumes -- a knob that silently does
     nothing is worse than an error. Runs on every YAML/checkpoint load.
 
     The reference accepts-and-ignores all of these (``loss_type`` and the
     WaveRNN-residue audio keys appear in its default.yaml but are read
-    nowhere in its tree); we fail fast instead.
+    nowhere in its tree); we fail fast on user-authored YAML. strict=False
+    (checkpoint-embedded snapshots, ``Config.from_yaml``) downgrades to a
+    logged warning: a trained model must stay loadable even if the config
+    it was trained under carried a dead knob.
     """
+    def fail(msg: str):
+        if strict:
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint config: %s (ignored for loading)", msg)
+
     m, a = cfg.model, cfg.audio
     if m.loss_type != "L1":
-        raise ValueError(
-            f"model.loss_type={m.loss_type!r}: only 'L1' is implemented "
-            "(the reference also hardcodes L1Loss regardless of this key)")
+        fail(f"model.loss_type={m.loss_type!r}: only 'L1' is implemented "
+             "(the reference also hardcodes L1Loss regardless of this key)")
     if m.use_masking and m.use_weighted_masking:
+        # not downgradable: the loss branches are contradictory
         raise ValueError(
             "model.use_masking and model.use_weighted_masking are mutually "
             "exclusive (the reference crashes with both set; ESPnet asserts "
             "exactly this)")
     if m.reduction_factor != 1:
-        raise ValueError(
+        raise ValueError(  # shapes would be wrong: never downgradable
             f"model.reduction_factor={m.reduction_factor}: only 1 is "
             "implemented (the reference's >1 support is commented out, "
             "fastspeech.py:275-278)")
@@ -229,11 +242,10 @@ def validate_config(cfg: Config) -> Config:
     defaults = AudioConfig()
     for name in ("mu_law", "bits", "min_level_db", "ref_level_db"):
         if getattr(a, name) != getattr(defaults, name):
-            raise ValueError(
-                f"audio.{name}={getattr(a, name)!r}: this key is consumed "
-                "by no code path (WaveRNN residue in the reference config "
-                "too); remove it or keep the default "
-                f"{getattr(defaults, name)!r}")
+            fail(f"audio.{name}={getattr(a, name)!r}: this key is consumed "
+                 "by no code path (WaveRNN residue in the reference config "
+                 "too); remove it or keep the default "
+                 f"{getattr(defaults, name)!r}")
     return cfg
 
 
@@ -244,7 +256,7 @@ def _filter_fields(cls, raw: Dict[str, Any]):
     return cls(**known), unknown
 
 
-def config_from_dict(raw: Dict[str, Any]) -> Config:
+def config_from_dict(raw: Dict[str, Any], strict: bool = True) -> Config:
     """Build a Config from a (possibly reference-format) nested dict."""
     raw = dict(raw or {})
     extras: Dict[str, Any] = dict(raw.get("extras", {}))
@@ -264,7 +276,8 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         if k not in ("data", "audio", "model", "train", "extras"):
             extras[k] = raw[k]
     return validate_config(
-        Config(data=data, audio=audio, model=model, train=train, extras=extras))
+        Config(data=data, audio=audio, model=model, train=train,
+               extras=extras), strict=strict)
 
 
 def load_config(path: Optional[str] = None) -> Config:

@@ -306,6 +306,14 @@ def test_config_rejects_unconsumed_knobs():
     # peak_norm is consumed (preprocessing wav read), so non-default is fine
     assert config_from_dict({"audio": {"peak_norm": True}}).audio.peak_norm
 
+    # checkpoint-embedded snapshots must stay LOADABLE even with a dead knob
+    # (a trained model is not invalidated by it) -- warning, not error
+    cfg = Config.from_yaml("audio:\n  bits: 10\nmodel:\n  loss_type: L2\n")
+    assert cfg.audio.bits == 10
+    # shape-breaking fields raise even from snapshots
+    with pytest.raises(ValueError, match="reduction_factor"):
+        Config.from_yaml("model:\n  reduction_factor: 2\n")
+
 
 def test_alpha_scales_output_buffer_no_truncation(small_model):
     """alpha > 1 must scale the static frame buffer: integer durations double
