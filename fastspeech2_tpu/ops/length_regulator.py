@@ -16,8 +16,7 @@ Replicated quirks:
   decoder conv-FFN (k=9) reads across the boundary.
 """
 
-import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ Array = jax.Array
 
 def regulate_length(
     hs: Array, ds: Array, tok_mask: Array, out_maxlen: int,
-    pad_to_token: bool = False, via: Optional[str] = None,
+    pad_to_token: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Expand phoneme-level states to frame level by durations.
 
@@ -38,16 +37,10 @@ def regulate_length(
         out_maxlen: static frame-axis length L of the output.
         pad_to_token: if True, out-of-range frames gather the last valid token
             instead of being zeroed (not reference behavior; off by default).
-        via: "gather" | "onehot" | None (None -> env FS2_LR_EXPAND, else
-            "gather"). Static at trace time. The two are bit-identical
-            (tests/test_ops.py); "onehot" expresses the expansion as a
-            selection matmul for the MXU instead of a dynamic row gather --
-            the round-2 variance-embedding lesson (PARITY.md) applied here.
 
     Returns:
         (expanded (B, L, D), frame_mask (B, L) bool, out_lens (B,) int32)
     """
-    via = via or os.environ.get("FS2_LR_EXPAND", "gather")
     ds = jnp.where(tok_mask, ds, 0).astype(jnp.int32)
     total = jnp.sum(ds, axis=-1, keepdims=True)
     # all-zero-durations fallback: one frame per valid token (reference :86-88)
@@ -59,24 +52,12 @@ def regulate_length(
     # over-report (e.g. long utterances under alpha > 1 speed control)
     out_lens = jnp.minimum(cum[:, -1], out_maxlen)
     frames = jnp.arange(out_maxlen, dtype=jnp.int32)  # (L,)
-    frame_mask = frames[None, :] < out_lens[:, None]
-
-    if via == "onehot" and not pad_to_token:
-        # frame j copies token i iff cum[i-1] <= j < cum[i]: a one-hot
-        # (B, L, T) selection matrix contracted against hs on the MXU.
-        # Exactly one (or zero, beyond out_lens) unit entry per frame row, so
-        # the matmul is bit-exact in any dtype, and out-of-range frames come
-        # out zero -- the reference's pad_2d_tensor(0.0) behavior for free.
-        f = frames[None, :, None]  # (1, L, 1)
-        sel = ((cum - ds)[:, None, :] <= f) & (f < cum[:, None, :])
-        expanded = jnp.einsum("blt,btd->bld", sel.astype(hs.dtype), hs)
-        return expanded, frame_mask, out_lens
-
     # idx[b, j] = #{i : cum[b, i] <= j}  == searchsorted(cum[b], j, 'right')
     idx = jnp.sum(cum[:, None, :] <= frames[None, :, None], axis=-1)  # (B, L)
     idx = jnp.minimum(idx, hs.shape[1] - 1)
     expanded = jnp.take_along_axis(hs, idx[..., None], axis=1)  # (B, L, D)
 
+    frame_mask = frames[None, :] < out_lens[:, None]
     if not pad_to_token:
         expanded = jnp.where(frame_mask[..., None], expanded, 0.0)
     return expanded, frame_mask, out_lens

@@ -99,32 +99,6 @@ def test_length_regulator_sum_invariant(rng):
                                   np.minimum(expect, L))
 
 
-def test_length_regulator_onehot_matmul_bit_identical(rng):
-    """The MXU one-hot expansion path == the gather path, bit for bit, over
-    random batches incl. zero durations, masked tokens, all-zero fallback
-    rows, and buffer clipping (total > L)."""
-    B, T, L = 6, 12, 32
-    ds = rng.integers(0, 6, (B, T)).astype(np.int32)
-    ds[1] = 0                                # all-zero fallback row
-    ds[2] = 9                                # total 108 > L: clipping row
-    ilens = rng.integers(1, T + 1, (B,)).astype(np.int32)
-    mask = np.arange(T)[None] < ilens[:, None]
-    hs = rng.normal(size=(B, T, 8)).astype(np.float32)
-    a = regulate_length(jnp.asarray(hs), jnp.asarray(ds), jnp.asarray(mask),
-                        L, via="gather")
-    b = regulate_length(jnp.asarray(hs), jnp.asarray(ds), jnp.asarray(mask),
-                        L, via="onehot")
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    # bf16 states: a one-hot matmul copies values exactly in any dtype
-    hs16 = jnp.asarray(hs, jnp.bfloat16)
-    a16, _, _ = regulate_length(hs16, jnp.asarray(ds), jnp.asarray(mask),
-                                L, via="gather")
-    b16, _, _ = regulate_length(hs16, jnp.asarray(ds), jnp.asarray(mask),
-                                L, via="onehot")
-    np.testing.assert_array_equal(np.asarray(a16), np.asarray(b16))
-
-
 @pytest.mark.parametrize("side_values", [True, False])
 def test_bucketize_matches_torch(rng, side_values):
     bins = linear_bins(0.01786651276051998, 130.5338592529297)  # energy bins
