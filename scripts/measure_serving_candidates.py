@@ -4,9 +4,15 @@ Measures with the profiler's device op table (wall over the axon tunnel is
 dispatch noise), following the keep-or-revert discipline in PARITY.md:
 
 1. length-regulator expansion: dynamic row gather (current default) vs
-   one-hot selection matmul (ops/length_regulator.py via=...)
+   one-hot selection matmul. MEASURED (v5e, reps=8, full serving step):
+   gather 15.857 ms vs onehot 15.893 ms total device time per call --
+   neutral within noise; the candidate (commit cc471f8) was reverted and
+   this A/B now only re-measures the kept gather path.
 2. variance predictors: two separate conv stacks vs one stacked run
-   (channels concatenated, grouped second conv) -- isolated sub-computation
+   (channels concatenated, grouped second conv) -- isolated sub-computation.
+   MEASURED (v5e, B=32 L=896 bf16): separate 0.739 ms vs stacked 1.518 ms
+   -- REJECTED, 2.1x slower (the grouped conv + interleaved per-half LN
+   reshapes defeat XLA's fusion of the separate stacks).
 
     python scripts/measure_serving_candidates.py [--reps 8]
 """
@@ -43,17 +49,12 @@ def device_total_ms(fn, args, reps, tag):
 
 
 def ab_length_regulator(reps):
-    from fastspeech2_tpu.ops import length_regulator as lr
-
-    results = {}
-    for mode in ("gather", "onehot"):
-        os.environ["FS2_LR_EXPAND"] = mode
-        infer, wargs = build_workload()  # fresh jit per mode
-        results[mode] = device_total_ms(infer, wargs, reps, f"lr_{mode}")
-        print(f"  serving step, LR={mode}: {results[mode]:.3f} ms/call "
-              "(device)")
-    os.environ.pop("FS2_LR_EXPAND", None)
-    return results
+    # The one-hot candidate was reverted after measuring neutral (docstring);
+    # this now re-measures the kept gather path only, as a regression anchor.
+    infer, wargs = build_workload()
+    ms = device_total_ms(infer, wargs, reps, "lr_gather")
+    print(f"  serving step, LR=gather (kept): {ms:.3f} ms/call (device)")
+    return {"gather": ms}
 
 
 def ab_variance_pair(reps):

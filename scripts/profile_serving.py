@@ -99,6 +99,10 @@ def device_op_table(trace_dir):
         name = e.get("name", "?")
         if any(name.startswith(t) or t in name for t in _NON_OPS):
             continue
+        if name.startswith("jit_") and name.endswith(")"):
+            # module-level region spanning all child ops -- counting it would
+            # double the total (it IS the per-call device time, not an op)
+            continue
         table[name][0] += e["dur"]
         table[name][1] += 1
     return {k: (v[0], v[1]) for k, v in table.items()}
@@ -106,12 +110,13 @@ def device_op_table(trace_dir):
 
 def classify(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
-        return "pallas kernel"
-    if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")):
-        return "xla fusion"
-    if "conv" in n:
+    if (n.startswith("fused_") or "custom-call" in n or "pallas" in n
+            or "tpu_custom_call" in n):
+        return "pallas kernel"  # our kernels are traced by their fused_* name
+    if "conv" in n.replace("convert", ""):
         return "xla conv"
+    if "fusion" in n:
+        return "xla fusion"
     if "dot" in n or "gemm" in n:
         return "xla dot"
     if any(t in n for t in ("copy", "transpose", "bitcast", "reshape")):
@@ -121,11 +126,31 @@ def classify(name: str) -> str:
     return "other"
 
 
+def attribute_fusions(compiled_text, names):
+    """Map trace op names (fusion.N, add_convert_fusion.K, ...) to source,
+    from the optimized HLO's per-instruction metadata (op_name +
+    source_file:line of the fusion root)."""
+    import re
+
+    attr = {}
+    for m in re.finditer(
+            r"%?([\w.-]+) = (\S+)[^\n]*? fusion\([^\n]*?"
+            r'metadata=\{op_name="([^"]*)"'
+            r'(?: source_file="([^"]*)" source_line=(\d+))?',
+            compiled_text):
+        name, shape, op_name, sfile, sline = m.groups()
+        src = f"  {os.path.basename(sfile)}:{sline}" if sfile else ""
+        attr[name] = f"{shape.split('{')[0]:22s} {op_name}{src}"
+    return {n: attr.get(n, "?") for n in names}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/fs2_profile")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--hlo", action="store_true",
+                    help="attribute top XLA fusions via the optimized HLO")
     args = ap.parse_args()
 
     infer, wargs = build_workload()
@@ -155,6 +180,14 @@ def main():
     for cls, us in sorted(by_class.items(), key=lambda kv: -kv[1]):
         print(f"  {cls:14s} {us / args.reps:9.1f} us/call  "
               f"{100 * us / total:5.1f}%")
+
+    if args.hlo:
+        text = infer.lower(*wargs).compile().as_text()
+        xla_rows = [n for n, _ in rows if classify(n).startswith("xla")]
+        attr = attribute_fusions(text, xla_rows)
+        print("\nfusion attribution (optimized HLO):")
+        for name in xla_rows:
+            print(f"  {name:24s} {attr[name][:110]}")
 
 
 if __name__ == "__main__":
