@@ -394,21 +394,47 @@ class FastSpeech2:
             conv_mask=tok_mask)
         d_scaled = scale_durations(d_outs, alpha)
 
-        hs_e, frame_mask, out_lens = regulate_length(hs, d_scaled, tok_mask, out_maxlen)
+        from fastspeech2_tpu.ops.precision import current_compute_dtype
+        from fastspeech2_tpu.parallel.sharding import tp_degree
 
-        e_raw = variance_inference_apply(
-            params["energy_predictor"], self.variance_cfg, hs_e, conv_mask=frame_mask)
-        p_raw = variance_inference_apply(
-            params["pitch_predictor"], self.variance_cfg, hs_e, conv_mask=frame_mask)
-        one_hot_energy = to_one_hot(e_raw, self.energy_bins)
-        one_hot_pitch = to_one_hot(p_raw, self.pitch_bins)
+        vcfg = self.variance_cfg
+        # fused frame-level segment (ops/pallas/adaptor.py): expansion +
+        # both variance predictor stacks + quantize/embed + residual in one
+        # kernel. Same engagement rules as the other serving kernels: bf16
+        # speed path only (the f32 parity path keeps full-precision XLA ops)
+        import os
+        if (self._use_fused_attention()
+                and current_compute_dtype() == jnp.bfloat16
+                and tp_degree() == 1
+                and vcfg.n_layers == 2 and vcfg.kernel_size % 2 == 1
+                and vcfg.idim == hs.shape[-1]
+                and os.environ.get("FS2_FUSED_ADAPTOR", "on") != "off"):
+            from fastspeech2_tpu.ops.length_regulator import expansion_indices
+            from fastspeech2_tpu.ops.pallas.adaptor import (
+                variance_adaptor_fused_apply)
 
-        hs2 = hs_e + nn.linear(params["pitch_embed"], one_hot_pitch)
-        hs2 = hs2 + nn.linear(params["energy_embed"], one_hot_energy)
-        # zero pad rows: the reference has no rows beyond the true length at
-        # inference (decoder mask is None there, fastspeech.py:221-224); with a
-        # static buffer we mask attention + conv tails instead.
-        hs2 = jnp.where(frame_mask[..., None], hs2, 0.0)
+            idx, frame_mask, out_lens = expansion_indices(
+                d_scaled, tok_mask, out_maxlen, T)
+            hs2, _ = variance_adaptor_fused_apply(
+                params, vcfg, hs, idx, out_lens,
+                self.pitch_bins, self.energy_bins)
+        else:
+            hs_e, frame_mask, out_lens = regulate_length(
+                hs, d_scaled, tok_mask, out_maxlen)
+
+            e_raw = variance_inference_apply(
+                params["energy_predictor"], vcfg, hs_e, conv_mask=frame_mask)
+            p_raw = variance_inference_apply(
+                params["pitch_predictor"], vcfg, hs_e, conv_mask=frame_mask)
+            one_hot_energy = to_one_hot(e_raw, self.energy_bins)
+            one_hot_pitch = to_one_hot(p_raw, self.pitch_bins)
+
+            hs2 = hs_e + nn.linear(params["pitch_embed"], one_hot_pitch)
+            hs2 = hs2 + nn.linear(params["energy_embed"], one_hot_energy)
+            # zero pad rows: the reference has no rows beyond the true length
+            # at inference (decoder mask is None there, fastspeech.py:221-224);
+            # with a static buffer we mask attention + conv tails instead.
+            hs2 = jnp.where(frame_mask[..., None], hs2, 0.0)
 
         h_masks = attention_mask(out_lens, out_maxlen)
         before, after, _ = self._decode(

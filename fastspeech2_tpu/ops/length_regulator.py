@@ -24,6 +24,33 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def expansion_indices(
+    ds: Array, tok_mask: Array, out_maxlen: int, num_tokens: int,
+) -> Tuple[Array, Array, Array]:
+    """The gather plan of :func:`regulate_length`, without the gather.
+
+    Returns (idx (B, L) int32 source-token index per frame, frame_mask (B, L)
+    bool, out_lens (B,) int32). Exposed separately so fused kernels
+    (ops/pallas/adaptor.py) can do the expansion in VMEM.
+    """
+    ds = jnp.where(tok_mask, ds, 0).astype(jnp.int32)
+    total = jnp.sum(ds, axis=-1, keepdims=True)
+    # all-zero-durations fallback: one frame per valid token (reference :86-88)
+    ds = jnp.where(total == 0, tok_mask.astype(jnp.int32), ds)
+
+    cum = jnp.cumsum(ds, axis=-1)  # (B, T)
+    # clip to the static buffer: frames past out_maxlen don't exist, and
+    # callers slice mel[:, :out_lens] -- an unclipped length would silently
+    # over-report (e.g. long utterances under alpha > 1 speed control)
+    out_lens = jnp.minimum(cum[:, -1], out_maxlen)
+    frames = jnp.arange(out_maxlen, dtype=jnp.int32)  # (L,)
+    # idx[b, j] = #{i : cum[b, i] <= j}  == searchsorted(cum[b], j, 'right')
+    idx = jnp.sum(cum[:, None, :] <= frames[None, :, None], axis=-1)  # (B, L)
+    idx = jnp.minimum(idx, num_tokens - 1)
+    frame_mask = frames[None, :] < out_lens[:, None]
+    return idx, frame_mask, out_lens
+
+
 def regulate_length(
     hs: Array, ds: Array, tok_mask: Array, out_maxlen: int,
     pad_to_token: bool = False,
@@ -41,23 +68,9 @@ def regulate_length(
     Returns:
         (expanded (B, L, D), frame_mask (B, L) bool, out_lens (B,) int32)
     """
-    ds = jnp.where(tok_mask, ds, 0).astype(jnp.int32)
-    total = jnp.sum(ds, axis=-1, keepdims=True)
-    # all-zero-durations fallback: one frame per valid token (reference :86-88)
-    ds = jnp.where(total == 0, tok_mask.astype(jnp.int32), ds)
-
-    cum = jnp.cumsum(ds, axis=-1)  # (B, T)
-    # clip to the static buffer: frames past out_maxlen don't exist, and
-    # callers slice mel[:, :out_lens] -- an unclipped length would silently
-    # over-report (e.g. long utterances under alpha > 1 speed control)
-    out_lens = jnp.minimum(cum[:, -1], out_maxlen)
-    frames = jnp.arange(out_maxlen, dtype=jnp.int32)  # (L,)
-    # idx[b, j] = #{i : cum[b, i] <= j}  == searchsorted(cum[b], j, 'right')
-    idx = jnp.sum(cum[:, None, :] <= frames[None, :, None], axis=-1)  # (B, L)
-    idx = jnp.minimum(idx, hs.shape[1] - 1)
+    idx, frame_mask, out_lens = expansion_indices(
+        ds, tok_mask, out_maxlen, hs.shape[1])
     expanded = jnp.take_along_axis(hs, idx[..., None], axis=1)  # (B, L, D)
-
-    frame_mask = frames[None, :] < out_lens[:, None]
     if not pad_to_token:
         expanded = jnp.where(frame_mask[..., None], expanded, 0.0)
     return expanded, frame_mask, out_lens

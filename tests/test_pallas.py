@@ -303,3 +303,130 @@ def test_fused_stft_mel_matches_xla(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(en), np.asarray(en_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def _xla_adaptor_segment(params, cfg_v, hs, ds, tok_mask, L, pitch_bins,
+                         energy_bins, nb=256):
+    """The XLA inference frame-level segment (models/fastspeech2.py
+    inference(), regulate_length -> predictors -> quantize -> embed -> mask),
+    replicated op for op as the kernel's oracle."""
+    from fastspeech2_tpu.models.predictors import variance_inference_apply
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.length_regulator import regulate_length
+    from fastspeech2_tpu.ops.quantize import to_one_hot
+
+    hs_e, frame_mask, out_lens = regulate_length(hs, ds, tok_mask, L)
+    e_raw = variance_inference_apply(params["energy_predictor"], cfg_v, hs_e,
+                                     conv_mask=frame_mask)
+    p_raw = variance_inference_apply(params["pitch_predictor"], cfg_v, hs_e,
+                                     conv_mask=frame_mask)
+    hs2 = hs_e + nn.linear(params["pitch_embed"],
+                           to_one_hot(p_raw, pitch_bins, nb))
+    hs2 = hs2 + nn.linear(params["energy_embed"],
+                          to_one_hot(e_raw, energy_bins, nb))
+    hs2 = jnp.where(frame_mask[..., None], hs2, 0.0)
+    return hs2, p_raw, e_raw, frame_mask, out_lens
+
+
+def test_fused_variance_adaptor_matches_xla_segment(rng):
+    """The fused adaptor kernel (expansion + both predictor stacks +
+    bucketize/one-hot/embed + residual) == the XLA segment, including the
+    all-zero-duration fallback row, a length cutting inside a block, and
+    buffer clipping."""
+    from fastspeech2_tpu.models.predictors import (PredictorConfig,
+                                                   init_predictor)
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.length_regulator import expansion_indices
+    from fastspeech2_tpu.ops.pallas.adaptor import variance_adaptor_fused_apply
+    from fastspeech2_tpu.ops.quantize import linear_bins, log_bins
+
+    B, T, D, L, nb = 4, 12, 16, 32, 16
+    cfg_v = PredictorConfig(idim=D, n_chans=D, kernel_size=3)
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 4)
+    params = {
+        "pitch_predictor": init_predictor(ks[0], cfg_v),
+        "energy_predictor": init_predictor(ks[1], cfg_v),
+        "pitch_embed": nn.init_linear(ks[2], nb, D),
+        "energy_embed": nn.init_linear(ks[3], nb, D),
+    }
+    pitch_bins = log_bins(71.0, 400.0, nb)
+    energy_bins = linear_bins(0.0, 60.0, nb)
+
+    ds = rng.integers(0, 6, (B, T)).astype(np.int32)
+    ds[1] = 0                       # all-zero fallback row
+    ds[2] = 9                       # total 108 > L: clipping row
+    ilens = np.asarray([T, 7, T, 3], np.int32)
+    tok_mask = jnp.asarray(np.arange(T)[None] < ilens[:, None])
+    hs = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    ds = jnp.asarray(ds)
+
+    expect, p_raw, e_raw, frame_mask, out_lens = _xla_adaptor_segment(
+        params, cfg_v, hs, ds, tok_mask, L, pitch_bins, energy_bins, nb)
+
+    idx, fm2, ol2 = expansion_indices(ds, tok_mask, L, T)
+    np.testing.assert_array_equal(np.asarray(fm2), np.asarray(frame_mask))
+    np.testing.assert_array_equal(np.asarray(ol2), np.asarray(out_lens))
+
+    got, raw = variance_adaptor_fused_apply(
+        params, cfg_v, hs, idx, ol2, pitch_bins, energy_bins, interpret=True)
+
+    fm = np.asarray(frame_mask)
+    # raw outputs match at valid frames (kernel zeroes invalid ones)
+    np.testing.assert_allclose(np.asarray(raw)[:, 0][fm],
+                               np.asarray(p_raw)[fm], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(raw)[:, 1][fm],
+                               np.asarray(e_raw)[fm], rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(raw)[:, 0][~fm] == 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(got)[~fm] == 0.0)
+
+
+def test_fused_variance_adaptor_small_blocks(rng):
+    """block_l < L exercises halo rows across block boundaries and fully-dead
+    blocks; must equal the whole-L call."""
+    from fastspeech2_tpu.models.predictors import (PredictorConfig,
+                                                   init_predictor)
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.length_regulator import expansion_indices
+    from fastspeech2_tpu.ops.pallas import adaptor
+    from fastspeech2_tpu.ops.quantize import linear_bins, log_bins
+
+    B, T, D, L, nb = 3, 10, 8, 32, 16
+    cfg_v = PredictorConfig(idim=D, n_chans=D, kernel_size=3)
+    key = jax.random.PRNGKey(5)
+    ks = jax.random.split(key, 4)
+    params = {
+        "pitch_predictor": init_predictor(ks[0], cfg_v),
+        "energy_predictor": init_predictor(ks[1], cfg_v),
+        "pitch_embed": nn.init_linear(ks[2], nb, D),
+        "energy_embed": nn.init_linear(ks[3], nb, D),
+    }
+    pitch_bins = log_bins(71.0, 400.0, nb)
+    energy_bins = linear_bins(0.0, 60.0, nb)
+
+    ds = jnp.asarray(rng.integers(1, 4, (B, T)), jnp.int32)
+    ilens = np.asarray([10, 5, 2], np.int32)
+    tok_mask = jnp.asarray(np.arange(T)[None] < ilens[:, None])
+    hs = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    idx, _, ol = expansion_indices(ds, tok_mask, L, T)
+
+    args = dict(interpret=True)
+    whole = adaptor.variance_adaptor_fused_apply(
+        params, cfg_v, hs, idx, ol, pitch_bins, energy_bins, **args)
+
+    import functools as ft
+    orig = adaptor.fused_variance_adaptor
+    blocked_fn = ft.partial(orig, block_l=8)
+    adaptor.fused_variance_adaptor = blocked_fn
+    try:
+        blocked = adaptor.variance_adaptor_fused_apply(
+            params, cfg_v, hs, idx, ol, pitch_bins, energy_bins, **args)
+    finally:
+        adaptor.fused_variance_adaptor = orig
+
+    np.testing.assert_allclose(np.asarray(blocked[0]), np.asarray(whole[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(blocked[1]), np.asarray(whole[1]),
+                               rtol=1e-6, atol=1e-6)
