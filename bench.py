@@ -15,6 +15,16 @@ Prints ONE JSON line: serving mel-frames/s/chip with vs_baseline = ratio over
 the reference PyTorch CPU implementation on identical inputs; the training
 numbers ride in ``extra`` (train_step_ms, train_vs_baseline). ``--train``
 emits the training metric as its own single JSON line instead.
+
+Timing methodology (round 3): each timed window is ONE dispatch of a jitted
+``lax.scan`` chaining ``reps`` full calls (distinct serving batches; train
+steps chained through the TrainState carry), medianed over 5 windows with
+IQR reported. This measures device throughput -- what an accelerator-attached
+host gets -- rather than the axon tunnel's per-dispatch round-trip, which is
+harness infrastructure and varies session to session (measured 1.5 ms/call in
+round 2 vs 6.5 ms/call in round 3 for identical HLO; the per-dispatch wall
+number stays visible as ``serving_fps_single_dispatch``). Scan windows agree
+with jax.profiler device-track totals (PARITY.md).
 """
 
 import json
@@ -126,28 +136,36 @@ def bench_train():
                   ys=jnp.asarray(ys), olens=jnp.asarray(olens),
                   ds=jnp.asarray(ds), es=jnp.asarray(es), ps=jnp.asarray(ps))
 
-    step_fn = jax.jit(make_train_step(model, optimizer, accum_grad=1, bf16=bf16))
-    # pre-split keys: a fold_in inside the timing loop would add a separate
-    # tiny dispatch per step (measured +60 ms/step over the axon tunnel)
-    windows, reps = 5, 4
-    rngs = list(jax.random.split(jax.random.PRNGKey(1), windows * reps + 1))
-    ts, report = step_fn(ts, batch, rngs[0])  # compile + warmup
-    float(np.asarray(report["loss"]))
+    step_fn = make_train_step(model, optimizer, accum_grad=1, bf16=bf16)
+    windows, reps = 5, 16
 
-    # median over independent windows: single-window numbers wobble with
-    # host-dispatch variance over the tunnel (PARITY.md r2: 1.6-1.76M band
-    # made round-over-round serving deltas pure noise)
-    window_ms, final_loss, i = [], 0.0, 0
-    for _ in range(windows):
+    # one dispatch per window: `reps` steps chained through the TrainState
+    # carry inside one jitted scan. Each step consumes the previous step's
+    # state, so the work is inherently serialized and nothing can be CSE'd;
+    # wall time over the window == device time + ONE host round-trip. Per-call
+    # dispatch timing over the axon tunnel is harness noise, not model speed
+    # (measured 1.5 ms/call in r2 vs 6.5 ms/call in r3 for identical HLO), and
+    # a real accelerator-attached trainer never round-trips per step either.
+    def window_scan(ts, batch, rngs):
+        def body(ts, rng):
+            ts, report = step_fn(ts, batch, rng)
+            return ts, report["loss"]
+        return jax.lax.scan(body, ts, rngs)
+
+    window_jit = jax.jit(window_scan)
+    rngs = jax.random.split(jax.random.PRNGKey(1), (windows + 1) * reps)
+    rngs = rngs.reshape(windows + 1, reps, -1)
+    ts, losses = window_jit(ts, batch, rngs[0])  # compile + warmup
+    float(np.asarray(losses[-1]))
+
+    window_ms, final_loss = [], 0.0
+    for w in range(windows):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            i += 1
-            ts, report = step_fn(ts, batch, rngs[i])
-        # force the final result: loss_i depends on ts_{i-1}, so pulling the
-        # last scalar to the host serializes the window's chain.
+        ts, losses = window_jit(ts, batch, rngs[w + 1])
+        # force the final result with a real device->host read:
         # block_until_ready alone can return EARLY on tunneled backends
         # (verify skill: a 42 ms step once "measured" 2.9 ms that way).
-        final_loss = float(np.asarray(report["loss"]))
+        final_loss = float(np.asarray(losses)[-1])
         window_ms.append((time.perf_counter() - t0) / reps * 1000.0)
     step_ms, iqr_ms = _median_iqr(window_ms)
 
@@ -189,14 +207,20 @@ def main():
     seqs = [np.asarray(phonemes_to_sequence(e.phonemes), np.int32)
             for e in entries]
     B, T, L = 32, 128, 896
-    xs = np.zeros((B, T), np.int32)
-    ilens = np.zeros((B,), np.int32)
-    for i in range(B):
-        s = seqs[i % len(seqs)][:T]
-        xs[i, : len(s)] = s
-        ilens[i] = len(s)
-    xs = jnp.asarray(xs)
-    ilens = jnp.asarray(ilens)
+    windows, reps = 5, 10
+    # `reps` DISTINCT batches (utterance assignment rotated per rep): the
+    # timing window scans over them in one dispatch, and distinct inputs mean
+    # XLA cannot collapse iterations
+    xs_all = np.zeros((reps, B, T), np.int32)
+    ilens_all = np.zeros((reps, B), np.int32)
+    for r in range(reps):
+        for i in range(B):
+            s = seqs[(r + i) % len(seqs)][:T]
+            xs_all[r, i, : len(s)] = s
+            ilens_all[r, i] = len(s)
+    xs_all = jnp.asarray(xs_all)
+    ilens_all = jnp.asarray(ilens_all)
+    xs, ilens = xs_all[0], ilens_all[0]
 
     # speed config: bf16 matmul operands / f32 accumulation (+fused Pallas
     # attention via fused_attention="auto" on TPU). Parity configs and tests
@@ -205,33 +229,61 @@ def main():
 
     bf16 = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def infer(params, state, xs, ilens):
+    def infer_one(params, state, xs, ilens):
         with compute_dtype(jnp.bfloat16 if bf16 else None):
             mel, out_lens, _ = model.inference(params, state, xs, ilens,
                                                out_maxlen=L)
         return mel, out_lens
 
+    infer = jax.jit(infer_one)
+
+    # one dispatch per timing window: scan the `reps` distinct batches inside
+    # one jitted call (the production pattern -- a serving host pipelines
+    # batches without a synchronous round-trip between them). Each
+    # iteration's mel feeds a checksum scan output, so no rep can be
+    # dead-code-eliminated (and the big mels never transfer to host); wall
+    # time == device time + ONE tunnel round-trip, amortized over `reps`
+    # calls (see bench_train note: the axon tunnel's round-trip is harness
+    # noise that varies session to session, not model speed).
+    @jax.jit
+    def infer_window(params, state, xs_all, ilens_all):
+        def body(carry, xi):
+            xs, ilens = xi
+            mel, out_lens = infer_one(params, state, xs, ilens)
+            return carry, (jnp.sum(mel), out_lens)
+        _, (sums, out_lens) = jax.lax.scan(body, 0, (xs_all, ilens_all))
+        return sums, out_lens
+
     mel, out_lens = infer(params, state, xs, ilens)  # compile + warmup
     jax.block_until_ready(mel)
     out_lens_h = np.asarray(out_lens)
-    frames_per_call = int(out_lens_h.sum())
-    flops_per_call = model_flops(cfg, np.asarray(ilens), out_lens_h)
 
-    # median over independent windows (see bench_train: single-window
-    # numbers ride the tunnel's host-dispatch variance band)
-    windows, reps = 5, 4
+    sums, out_lens_w = infer_window(params, state, xs_all, ilens_all)
+    out_lens_wh = np.asarray(out_lens_w)  # compile + warmup + force
+    frames_per_window = int(out_lens_wh.sum())
+    frames_per_call = frames_per_window // reps
+    flops_per_call = model_flops(
+        cfg, np.asarray(ilens_all).ravel(), out_lens_wh.ravel()) / reps
+
     window_fps = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            mel, out_lens = infer(params, state, xs, ilens)
+        sums, out_lens_w = infer_window(params, state, xs_all, ilens_all)
         # np.asarray forces a real device->host read of the final output
         # (block_until_ready can return early on tunneled backends)
-        np.asarray(out_lens)
+        np.asarray(out_lens_w)
         dt = time.perf_counter() - t0
-        window_fps.append(frames_per_call * reps / dt)
+        window_fps.append(frames_per_window / dt)
     fps, fps_iqr = _median_iqr(window_fps)
+
+    # per-dispatch wall number kept visible so the tunnel overhead the
+    # headline excludes stays an honest, recorded quantity
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        mel, out_lens = infer(params, state, xs, ilens)
+    np.asarray(out_lens)
+    single_dispatch_fps = int(out_lens_h.sum()) * reps / (
+        time.perf_counter() - t0)
     audio_sps = fps * cfg.audio.hop_length / cfg.audio.sample_rate
 
     baseline_fps = _baseline("torch_cpu_mel_frames_per_s")
@@ -247,6 +299,7 @@ def main():
         "device": str(jax.devices()[0].device_kind),
         "serving_fps_windows": [round(f, 1) for f in window_fps],
         "serving_fps_iqr": round(fps_iqr, 1),
+        "serving_fps_single_dispatch": round(single_dispatch_fps, 1),
         "serving_flops_per_call": flops_per_call,
         "train_step_ms": round(train_ms, 2),
         "train_vs_baseline": round(train_vs, 1),

@@ -203,6 +203,12 @@ def encoder_apply(
     fusable = (speed_path and d_k >= 128
                and (tp == 1 or cfg.attention_heads % tp == 0))
     use_fused = fusable and deterministic
+    # fused [attention -> out-proj -> +residual] variant: tp=1 only (the
+    # row-parallel out projection's psum must precede the residual under TP)
+    import os
+
+    use_fused_res = (use_fused and not cfg.concat_after and tp == 1
+                     and os.environ.get("FS2_FUSED_ATT_RES", "on") != "off")
     # the fused conv-FFN has no head-dim constraint, but it always applies
     # conv-mask (zeroed-past-length) semantics — engage it only when the
     # caller asked for those (exact-unpadded inference), never silently
@@ -245,7 +251,20 @@ def encoder_apply(
         r = iter(brngs)
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
-        if use_fused:
+        if use_fused_res:
+            from fastspeech2_tpu.ops.pallas.attention import (
+                mha_fused_res_apply)
+
+            # fused [attention -> out-proj -> +residual]: the XLA residual
+            # add + out-proj round-trips fold into the kernel (tp=1 only --
+            # the row-parallel out projection needs its psum before the
+            # residual under TP)
+            x = mha_fused_res_apply(layer["attn"], y, residual, lengths,
+                                    cfg.attention_heads)
+            next(r)  # attention-dropout + residual-dropout keys: identity on
+            next(r)  # this deterministic path; keep the schedule aligned
+            att = None
+        elif use_fused:
             from fastspeech2_tpu.ops.pallas.attention import mha_fused_apply
 
             att = mha_fused_apply(layer["attn"], y, lengths, cfg.attention_heads)
@@ -263,12 +282,14 @@ def encoder_apply(
                 dropout_rate=cfg.attention_dropout_rate, dropout_key=next(r),
                 deterministic=deterministic,
             )
-        if cfg.concat_after:
-            x = residual + nn.linear(layer["concat"], jnp.concatenate([y, att], axis=-1))
-            next(r)
-        else:
-            x = residual + nn.dropout(next(r), att, cfg.dropout_rate,
-                                      deterministic=deterministic)
+        if att is not None:
+            if cfg.concat_after:
+                x = residual + nn.linear(
+                    layer["concat"], jnp.concatenate([y, att], axis=-1))
+                next(r)
+            else:
+                x = residual + nn.dropout(next(r), att, cfg.dropout_rate,
+                                          deterministic=deterministic)
         if not cfg.normalize_before:
             x = nn.layer_norm(layer["norm1"], x)
 

@@ -231,6 +231,164 @@ def fused_attention_packed(q: Array, k: Array, v: Array, lengths: Array,
     )(lengths.astype(jnp.int32), q, k, v)
 
 
+def _attn_kernel_packed_res(len_ref, q_ref, k_ref, v_ref, res_ref, wo_ref,
+                            bo_ref, o_ref, o_scr, *, scale: float,
+                            block_q: int, n_heads: int):
+    """:func:`_attn_kernel_packed` + output projection + residual add.
+
+    The XLA tail this replaces (models/encoder.py fft_block:
+    ``x = residual + dropout(out_proj(att))`` on the deterministic path) is
+    two (B, T, D) HBM round-trips per block -- the out-proj dot and the
+    residual add_convert fusion. Keeping them here costs one resident
+    (D, D) weight tile and zero extra HBM traffic. Numerics replicate
+    ops/nn.py:linear under a compute dtype: MXU f32 accumulation rounded to
+    the compute dtype, widened to f32 for the bias add, residual added in
+    f32. Rows past the true length come out as ``res + bias`` exactly like
+    the XLA path (masked softmax re-zeroes them, the projection leaves the
+    bias, the residual stream passes through)."""
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    length = len_ref[b]
+    q = q_ref[0]  # (block_q, D)
+    k = k_ref[0]  # (T, D)
+    v = v_ref[0]
+    T, D = k.shape
+    dk = D // n_heads
+    cd = q.dtype
+
+    prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    @pl.when(qi * block_q >= length)
+    def _dead_block():
+        o_ref[0] = (res_ref[0].astype(jnp.float32)
+                    + bo_ref[0]).astype(o_ref.dtype)
+
+    @pl.when(qi * block_q < length)
+    def _live_block():
+        row = (qi * block_q
+               + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0))
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
+        valid = (row < length) & (col < length)
+        neg = jnp.finfo(jnp.float32).min
+
+        for h in range(n_heads):
+            sl = slice(h * dk, (h + 1) * dk)
+            scores = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * scale  # (block_q, T)
+
+            s = jnp.where(valid, scores, neg)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m) * valid.astype(jnp.float32)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+
+            o_scr[:, sl] = jax.lax.dot_general(
+                attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(cd)
+
+        # ops/nn.py:linear bit-pattern: MXU f32 accumulation rounded to the
+        # compute dtype, widened to f32 for the bias add; then the residual
+        out = jax.lax.dot_general(
+            o_scr[:], wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(cd).astype(jnp.float32) + bo_ref[0]
+        o_ref[0] = (out + res_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "interpret", "block_q"))
+def fused_attention_packed_res(q: Array, k: Array, v: Array, res: Array,
+                               wo: Array, bo: Array, lengths: Array,
+                               n_heads: int, *, interpret: bool = False,
+                               block_q: int | None = None) -> Array:
+    """Head-packed fused attention + output projection + residual add.
+
+    Args:
+        q/k/v: (B, T, D) projections, heads as contiguous D-slices.
+        res: (B, T, D) f32 residual stream (the block input x).
+        wo: (D, D) output projection weight in the compute dtype;
+            bo (1, D) f32 bias.
+        lengths: (B,) true sequence lengths.
+
+    Returns:
+        (B, T, D) f32 ``res + out_proj(attention)`` -- the full FFT-block
+        attention half on the deterministic path.
+    """
+    B, T, D = q.shape
+    assert D % n_heads == 0, (D, n_heads)
+    dk = D // n_heads
+    scale = 1.0 / float(np.sqrt(dk))
+    bq = block_q if block_q is not None else _pick_block_q_adaptive(T)
+    assert T % bq == 0, (T, bq)
+    qspec = pl.BlockSpec((1, bq, D), lambda b, i, lens: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, T, D), lambda b, i, lens: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((D, D), lambda b, i, lens: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, D), lambda b, i, lens: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // bq),
+        in_specs=[qspec, kvspec, kvspec, qspec, wspec, bspec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((bq, D), q.dtype)],
+    )
+    kernel = functools.partial(_attn_kernel_packed_res, scale=scale,
+                               block_q=bq, n_heads=n_heads)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (n_heads * T * T * dk * 2 + T * D * D),
+            bytes_accessed=6 * B * T * D * 4 + D * D * 2,
+            transcendentals=B * n_heads * T * T,
+        ),
+    )(lengths.astype(jnp.int32), q, k, v,
+      res.astype(jnp.float32), wo, bo.astype(jnp.float32))
+
+
+def mha_fused_res_apply(params, x: Array, residual: Array, lengths: Array,
+                        n_heads: int, *, interpret: bool = False) -> Array:
+    """Full FFT-block attention half on the deterministic path:
+    QKV projections (XLA) + fused [attention -> out projection -> +residual]
+    kernel. Drop-in for ``residual + out_proj(fused_attention(...))`` when no
+    tensor parallelism is active (the row-parallel out projection needs its
+    psum between dot and residual under TP; tp>1 keeps the split path).
+
+    Shards over a data-axis mesh via data_shard_map like the other
+    batch-independent kernels."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
+
+    dt = current_compute_dtype() or x.dtype
+
+    def proj(p):
+        return nn.linear(p, x, out_dtype=dt)
+
+    q, k, v = proj(params["q"]), proj(params["k"]), proj(params["v"])
+    wo = params["out"]["w"].astype(dt)
+    bo = params["out"]["b"].reshape(1, -1)
+
+    def call(q, k, v, res, lens, wo, bo):
+        return fused_attention_packed_res(q, k, v, res, wo, bo, lens,
+                                          n_heads, interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 1, 2, 3, 4))
+    return call(q, k, v, residual, lengths, wo, bo)
+
+
 def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,
                               n_heads: int, mesh, *,
                               interpret: bool = False,

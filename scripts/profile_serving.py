@@ -144,24 +144,66 @@ def attribute_fusions(compiled_text, names):
     return {n: attr.get(n, "?") for n in names}
 
 
+def build_train_workload():
+    """The bench training step (B=16, T=128, L=896, bf16) as a profilable
+    (fn, args) pair; steps chain through the returned TrainState."""
+    from fastspeech2_tpu.config import Config
+    from fastspeech2_tpu.models.fastspeech2 import Batch, FastSpeech2
+    from fastspeech2_tpu.train.optimizer import make_optimizer
+    from fastspeech2_tpu.train.step import TrainState, make_train_step
+
+    cfg = Config()
+    bf16 = jax.default_backend() == "tpu"
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    optimizer = make_optimizer(cfg)
+    ts = TrainState(params, state, optimizer.init(params), jnp.int32(0))
+
+    B, T, L = 16, 128, 896
+    g = np.random.default_rng(0)
+    batch = Batch(
+        xs=jnp.asarray(g.integers(1, 68, (B, T)).astype(np.int32)),
+        ilens=jnp.full((B,), T, jnp.int32),
+        ys=jnp.asarray(g.normal(size=(B, L, 80)).astype(np.float32)),
+        olens=jnp.full((B,), L, jnp.int32),
+        ds=jnp.full((B, T), L // T, jnp.int32),
+        es=jnp.asarray(g.uniform(0.0, 130.0, (B, L)).astype(np.float32)),
+        ps=jnp.asarray(g.uniform(71.0, 676.0, (B, L)).astype(np.float32)))
+    step_fn = jax.jit(make_train_step(model, optimizer, accum_grad=1,
+                                      bf16=bf16))
+    return step_fn, ts, batch
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/fs2_profile")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--train", action="store_true",
+                    help="profile the bench train step instead of serving")
     ap.add_argument("--hlo", action="store_true",
                     help="attribute top XLA fusions via the optimized HLO")
     args = ap.parse_args()
 
-    infer, wargs = build_workload()
-    mel, out_lens = infer(*wargs)  # compile + warmup
-    np.asarray(out_lens)
-
     os.makedirs(args.out, exist_ok=True)
-    with jax.profiler.trace(args.out):
-        for _ in range(args.reps):
-            mel, out_lens = infer(*wargs)
-        np.asarray(out_lens)  # force: serialize the chain into the trace
+    if args.train:
+        step_fn, ts, batch = build_train_workload()
+        rngs = jax.random.split(jax.random.PRNGKey(1), args.reps + 1)
+        ts, report = step_fn(ts, batch, rngs[0])  # compile + warmup
+        float(np.asarray(report["loss"]))
+        with jax.profiler.trace(args.out):
+            for i in range(args.reps):
+                ts, report = step_fn(ts, batch, rngs[i + 1])
+            float(np.asarray(report["loss"]))
+        infer, wargs = None, None
+    else:
+        infer, wargs = build_workload()
+        mel, out_lens = infer(*wargs)  # compile + warmup
+        np.asarray(out_lens)
+        with jax.profiler.trace(args.out):
+            for _ in range(args.reps):
+                mel, out_lens = infer(*wargs)
+            np.asarray(out_lens)  # force: serialize the chain into the trace
 
     time.sleep(1.0)  # trace writer flush
     table = device_op_table(args.out)
@@ -181,7 +223,7 @@ def main():
         print(f"  {cls:14s} {us / args.reps:9.1f} us/call  "
               f"{100 * us / total:5.1f}%")
 
-    if args.hlo:
+    if args.hlo and infer is not None:
         text = infer.lower(*wargs).compile().as_text()
         xla_rows = [n for n, _ in rows if classify(n).startswith("xla")]
         attr = attribute_fusions(text, xla_rows)

@@ -430,3 +430,50 @@ def test_fused_variance_adaptor_small_blocks(rng):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(blocked[1]), np.asarray(whole[1]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fused_attention_res_matches_xla_segment(rng):
+    """fused [attention -> out-proj -> +residual] == the XLA segment
+    (mha oracle + nn.linear out projection + residual add), including rows
+    past the true length (which must come out as residual + out-bias) and
+    fully-dead query blocks."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.attention import mha_fused_res_apply
+
+    B, H, T, dk = 3, 2, 32, 8
+    D = H * dk
+    params = init_mha(jax.random.PRNGKey(7), D, dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    residual = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 21, 3], jnp.int32)
+
+    mask = attention_mask(lengths, T)
+    att = mha_apply(params, y, y, y, mask, H)
+    expect = residual + att
+
+    got = mha_fused_res_apply(params, y, residual, lengths, H,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    # rows past the true length: exactly residual + out bias
+    bo = np.asarray(params["out"]["b"])
+    np.testing.assert_allclose(np.asarray(got)[1, 21:],
+                               np.asarray(residual)[1, 21:] + bo,
+                               rtol=1e-6, atol=1e-6)
+
+    # small blocks (dead-block path + boundary blocks) == whole-T call
+    from fastspeech2_tpu.ops import precision
+    from fastspeech2_tpu.ops.pallas.attention import (
+        fused_attention_packed_res)
+
+    q = nn.linear(params["q"], y)
+    k = nn.linear(params["k"], y)
+    v = nn.linear(params["v"], y)
+    wo, bo2 = params["out"]["w"], params["out"]["b"].reshape(1, -1)
+    whole = fused_attention_packed_res(q, k, v, residual, wo, bo2, lengths,
+                                       H, interpret=True, block_q=32)
+    blocked = fused_attention_packed_res(q, k, v, residual, wo, bo2, lengths,
+                                         H, interpret=True, block_q=8)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                               rtol=1e-6, atol=1e-6)

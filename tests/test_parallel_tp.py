@@ -422,3 +422,32 @@ def test_melgan_resstack_matches_under_data_mesh():
         got = gen(params, mel)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mha_fused_res_apply_matches_under_data_mesh():
+    """mha_fused_res_apply inside a data-mesh kernel context == unsharded
+    (and == residual + mha_fused_apply's split path)."""
+    from fastspeech2_tpu.ops.attention import init_mha
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.attention import (mha_fused_apply,
+                                                      mha_fused_res_apply)
+
+    g = np.random.default_rng(11)
+    mesh = _data_mesh()
+    B, H, T, dk = 8, 2, 16, 8
+    D = H * dk
+    params = init_mha(jax.random.PRNGKey(3), D, dtype=jnp.float32)
+    y = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    residual = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray(g.integers(T // 2, T + 1, (B,)), jnp.int32)
+
+    want = residual + mha_fused_apply(params, y, lengths, H, interpret=True)
+    got_plain = mha_fused_res_apply(params, y, residual, lengths, H,
+                                    interpret=True)
+    with tensor_parallel_attention(mesh):
+        got_mesh = mha_fused_res_apply(params, y, residual, lengths, H,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got_plain), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_mesh), np.asarray(got_plain),
+                               rtol=1e-6, atol=1e-6)
