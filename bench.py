@@ -16,24 +16,65 @@ the reference PyTorch CPU implementation on identical inputs; the training
 numbers ride in ``extra`` (train_step_ms, train_vs_baseline). ``--train``
 emits the training metric as its own single JSON line instead.
 
-Timing methodology (round 3): each timed window is ONE dispatch of a jitted
-``lax.scan`` chaining ``reps`` full calls (distinct serving batches; train
-steps chained through the TrainState carry), medianed over 5 windows with
-IQR reported. This measures device throughput -- what an accelerator-attached
-host gets -- rather than the axon tunnel's per-dispatch round-trip, which is
-harness infrastructure and varies session to session (measured 1.5 ms/call in
-round 2 vs 6.5 ms/call in round 3 for identical HLO; the per-dispatch wall
-number stays visible as ``serving_fps_single_dispatch``). Scan windows agree
-with jax.profiler device-track totals (PARITY.md).
+Timing methodology (round 3): on TPU, each timed window runs ``reps``
+dispatches under a ``jax.profiler`` trace and reads the executable's
+``jit_*`` region durations from the device track -- contiguous device
+timestamps including all inter-op gaps -- medianed over 5 windows with IQR
+reported. Device regions are the only dispatch-noise-free clock on this
+harness: the axon tunnel's per-round-trip cost varies 1.5-30 ms session to
+session for identical HLO (verified: 8 back-to-back dispatches execute
+gap-free at identical region durations on the device track, so the number
+equals what an accelerator-attached host gets; a chained lax.scan window
+measured the same per-call device time). Host-inclusive wall-clock
+throughput over the tunnel stays recorded as ``serving_fps_wall`` /
+``train_step_ms_wall``. On CPU (no device track) wall-clock is used.
 """
 
+import glob
+import gzip
 import json
+import os
 import sys
+import tempfile
 import time
+from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _device_region_ms(trace_dir: str):
+    """Sum of per-call ``jit_*`` region durations (ms) on the device track of
+    the trace in ``trace_dir``, with the call count. Picks the jit_* group
+    with the largest total time (the workload's executable; tiny helper jits
+    lose). Returns (total_ms, n_calls) or (None, 0) when no device track
+    exists (CPU)."""
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                             recursive=True))
+    if not paths:
+        return None, 0
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    pnames = {e["pid"]: e["args"].get("name", "") for e in events
+              if e.get("ph") == "M" and e.get("name") == "process_name"}
+    groups = defaultdict(lambda: [0.0, 0])
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        if not name.startswith("jit_"):
+            continue
+        pname = pnames.get(e.get("pid"), "")
+        if "TPU" not in pname and "/device:" not in pname:
+            continue
+        groups[name][0] += e["dur"]
+        groups[name][1] += 1
+    if not groups:
+        return None, 0
+    us, n = max(groups.values(), key=lambda v: v[0])
+    return us / 1000.0, n
 
 
 def _baseline(key):
@@ -136,38 +177,35 @@ def bench_train():
                   ys=jnp.asarray(ys), olens=jnp.asarray(olens),
                   ds=jnp.asarray(ds), es=jnp.asarray(es), ps=jnp.asarray(ps))
 
-    step_fn = make_train_step(model, optimizer, accum_grad=1, bf16=bf16)
-    windows, reps = 5, 16
+    step_fn = jax.jit(make_train_step(model, optimizer, accum_grad=1,
+                                      bf16=bf16))
+    windows, reps = 5, 4
+    # pre-split keys: a fold_in inside the timing loop would add a separate
+    # tiny dispatch per step (measured +60 ms/step over the axon tunnel)
+    rngs = list(jax.random.split(jax.random.PRNGKey(1), windows * reps + 1))
+    ts, report = step_fn(ts, batch, rngs[0])  # compile + warmup
+    float(np.asarray(report["loss"]))
 
-    # one dispatch per window: `reps` steps chained through the TrainState
-    # carry inside one jitted scan. Each step consumes the previous step's
-    # state, so the work is inherently serialized and nothing can be CSE'd;
-    # wall time over the window == device time + ONE host round-trip. Per-call
-    # dispatch timing over the axon tunnel is harness noise, not model speed
-    # (measured 1.5 ms/call in r2 vs 6.5 ms/call in r3 for identical HLO), and
-    # a real accelerator-attached trainer never round-trips per step either.
-    def window_scan(ts, batch, rngs):
-        def body(ts, rng):
-            ts, report = step_fn(ts, batch, rng)
-            return ts, report["loss"]
-        return jax.lax.scan(body, ts, rngs)
-
-    window_jit = jax.jit(window_scan)
-    rngs = jax.random.split(jax.random.PRNGKey(1), (windows + 1) * reps)
-    rngs = rngs.reshape(windows + 1, reps, -1)
-    ts, losses = window_jit(ts, batch, rngs[0])  # compile + warmup
-    float(np.asarray(losses[-1]))
-
-    window_ms, final_loss = [], 0.0
+    # device-region timing per window (see module docstring): dispatches
+    # pipeline, the trace's jit_* region durations are device timestamps,
+    # so the window is immune to the tunnel's per-round-trip cost
+    window_ms, wall_ms, final_loss, i = [], [], 0.0, 0
     for w in range(windows):
+        tdir = tempfile.mkdtemp(prefix=f"bench_train_w{w}_")
         t0 = time.perf_counter()
-        ts, losses = window_jit(ts, batch, rngs[w + 1])
-        # force the final result with a real device->host read:
-        # block_until_ready alone can return EARLY on tunneled backends
-        # (verify skill: a 42 ms step once "measured" 2.9 ms that way).
-        final_loss = float(np.asarray(losses)[-1])
-        window_ms.append((time.perf_counter() - t0) / reps * 1000.0)
+        with jax.profiler.trace(tdir):
+            for _ in range(reps):
+                i += 1
+                ts, report = step_fn(ts, batch, rngs[i])
+            # force the final result with a real device->host read:
+            # block_until_ready alone can return EARLY on tunneled backends
+            # (verify skill: a 42 ms step once "measured" 2.9 ms that way)
+            final_loss = float(np.asarray(report["loss"]))
+        wall_ms.append((time.perf_counter() - t0) / reps * 1000.0)
+        dev_ms, n = _device_region_ms(tdir)
+        window_ms.append(dev_ms / max(n, 1) if dev_ms else wall_ms[-1])
     step_ms, iqr_ms = _median_iqr(window_ms)
+    wall_step_ms, _ = _median_iqr(wall_ms)
 
     base_s = _baseline("torch_cpu_train_step_s")
     vs = (base_s * 1000.0) / step_ms if base_s else 0.0
@@ -183,6 +221,7 @@ def bench_train():
         "final_loss": round(final_loss, 4),
         "train_step_ms_windows": [round(w, 2) for w in window_ms],
         "train_step_ms_iqr": round(iqr_ms, 2),
+        "train_step_ms_wall": round(wall_step_ms, 2),
         "train_flops_per_step": flops_step,
     }
     if peak:
@@ -207,20 +246,15 @@ def main():
     seqs = [np.asarray(phonemes_to_sequence(e.phonemes), np.int32)
             for e in entries]
     B, T, L = 32, 128, 896
-    windows, reps = 5, 10
-    # `reps` DISTINCT batches (utterance assignment rotated per rep): the
-    # timing window scans over them in one dispatch, and distinct inputs mean
-    # XLA cannot collapse iterations
-    xs_all = np.zeros((reps, B, T), np.int32)
-    ilens_all = np.zeros((reps, B), np.int32)
-    for r in range(reps):
-        for i in range(B):
-            s = seqs[(r + i) % len(seqs)][:T]
-            xs_all[r, i, : len(s)] = s
-            ilens_all[r, i] = len(s)
-    xs_all = jnp.asarray(xs_all)
-    ilens_all = jnp.asarray(ilens_all)
-    xs, ilens = xs_all[0], ilens_all[0]
+    windows, reps = 5, 8
+    xs = np.zeros((B, T), np.int32)
+    ilens = np.zeros((B,), np.int32)
+    for i in range(B):
+        s = seqs[i % len(seqs)][:T]
+        xs[i, : len(s)] = s
+        ilens[i] = len(s)
+    xs = jnp.asarray(xs)
+    ilens = jnp.asarray(ilens)
 
     # speed config: bf16 matmul operands / f32 accumulation (+fused Pallas
     # attention via fused_attention="auto" on TPU). Parity configs and tests
@@ -237,53 +271,35 @@ def main():
 
     infer = jax.jit(infer_one)
 
-    # one dispatch per timing window: scan the `reps` distinct batches inside
-    # one jitted call (the production pattern -- a serving host pipelines
-    # batches without a synchronous round-trip between them). Each
-    # iteration's mel feeds a checksum scan output, so no rep can be
-    # dead-code-eliminated (and the big mels never transfer to host); wall
-    # time == device time + ONE tunnel round-trip, amortized over `reps`
-    # calls (see bench_train note: the axon tunnel's round-trip is harness
-    # noise that varies session to session, not model speed).
-    @jax.jit
-    def infer_window(params, state, xs_all, ilens_all):
-        def body(carry, xi):
-            xs, ilens = xi
-            mel, out_lens = infer_one(params, state, xs, ilens)
-            return carry, (jnp.sum(mel), out_lens)
-        _, (sums, out_lens) = jax.lax.scan(body, 0, (xs_all, ilens_all))
-        return sums, out_lens
-
     mel, out_lens = infer(params, state, xs, ilens)  # compile + warmup
     jax.block_until_ready(mel)
     out_lens_h = np.asarray(out_lens)
+    frames_per_call = int(out_lens_h.sum())
+    flops_per_call = model_flops(cfg, np.asarray(ilens), out_lens_h)
 
-    sums, out_lens_w = infer_window(params, state, xs_all, ilens_all)
-    out_lens_wh = np.asarray(out_lens_w)  # compile + warmup + force
-    frames_per_window = int(out_lens_wh.sum())
-    frames_per_call = frames_per_window // reps
-    flops_per_call = model_flops(
-        cfg, np.asarray(ilens_all).ravel(), out_lens_wh.ravel()) / reps
-
-    window_fps = []
-    for _ in range(windows):
+    # device-region timing per window (see module docstring): the `reps`
+    # dispatches pipeline and execute back-to-back on the device; the
+    # trace's jit_infer region durations are contiguous device timestamps,
+    # immune to the tunnel's per-round-trip cost
+    window_fps, wall_fps = [], []
+    for w in range(windows):
+        tdir = tempfile.mkdtemp(prefix=f"bench_serve_w{w}_")
         t0 = time.perf_counter()
-        sums, out_lens_w = infer_window(params, state, xs_all, ilens_all)
-        # np.asarray forces a real device->host read of the final output
-        # (block_until_ready can return early on tunneled backends)
-        np.asarray(out_lens_w)
+        with jax.profiler.trace(tdir):
+            for _ in range(reps):
+                mel, out_lens = infer(params, state, xs, ilens)
+            # np.asarray forces a real device->host read of the final output
+            # (block_until_ready can return early on tunneled backends)
+            np.asarray(out_lens)
         dt = time.perf_counter() - t0
-        window_fps.append(frames_per_window / dt)
+        wall_fps.append(frames_per_call * reps / dt)
+        dev_ms, n = _device_region_ms(tdir)
+        if dev_ms:
+            window_fps.append(frames_per_call * n / (dev_ms / 1000.0))
+        else:
+            window_fps.append(wall_fps[-1])
     fps, fps_iqr = _median_iqr(window_fps)
-
-    # per-dispatch wall number kept visible so the tunnel overhead the
-    # headline excludes stays an honest, recorded quantity
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        mel, out_lens = infer(params, state, xs, ilens)
-    np.asarray(out_lens)
-    single_dispatch_fps = int(out_lens_h.sum()) * reps / (
-        time.perf_counter() - t0)
+    wall_fps_med, _ = _median_iqr(wall_fps)
     audio_sps = fps * cfg.audio.hop_length / cfg.audio.sample_rate
 
     baseline_fps = _baseline("torch_cpu_mel_frames_per_s")
@@ -299,7 +315,7 @@ def main():
         "device": str(jax.devices()[0].device_kind),
         "serving_fps_windows": [round(f, 1) for f in window_fps],
         "serving_fps_iqr": round(fps_iqr, 1),
-        "serving_fps_single_dispatch": round(single_dispatch_fps, 1),
+        "serving_fps_wall": round(wall_fps_med, 1),
         "serving_flops_per_call": flops_per_call,
         "train_step_ms": round(train_ms, 2),
         "train_vs_baseline": round(train_vs, 1),
@@ -318,7 +334,21 @@ def main():
     }))
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: full-size compiles over the axon tunnel
+    take 10-20 min; cached reloads make repeat bench runs start in seconds."""
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_comp_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail the bench over it
+
+
 if __name__ == "__main__":
+    _enable_compile_cache()
     if "--train" in sys.argv[1:]:
         step_ms, vs, extra = bench_train()
         print(json.dumps({
