@@ -102,6 +102,13 @@ def test_nan_grads_skip_update(setup):
     # params unchanged (apply_if_finite skipped)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
                  params_before, ts2.params)
+    # optimizer moments and counts unchanged too (the reference skips the
+    # whole step, not just the parameter write)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), ts.opt_state["inner"],
+        ts2.opt_state["inner"])
+    assert int(ts2.opt_state["notfinite_count"]) == int(
+        ts.opt_state["notfinite_count"]) + 1
 
 
 def test_eval_step_deterministic(setup):
