@@ -110,6 +110,22 @@ def cmd_stats(args):
                 np.float32(out[f"{mean_key}_mean"]))
         np.save(os.path.join(root, f"{mean_key}_std.npy"),
                 np.float32(out[f"{mean_key}_std"]))
+    # drift check: the data: section records these stats (the reference's
+    # yaml carries LJSpeech's; compute_statistics.py:38-64 prints them for
+    # pasting back). A large mismatch means the config was written for a
+    # different dataset than the feature store -- the quantizer bin edges
+    # (p_min/p_max/e_min/e_max) would then be wrong for this data.
+    for key, cfg_val in (("e_mean", cfg.data.e_mean), ("e_std", cfg.data.e_std),
+                         ("f0_mean", cfg.data.f0_mean),
+                         ("f0_std", cfg.data.f0_std),
+                         ("e_min", cfg.data.e_min), ("e_max", cfg.data.e_max),
+                         ("p_min", cfg.data.p_min), ("p_max", cfg.data.p_max)):
+        if key in out and cfg_val and \
+                abs(out[key] - cfg_val) > 0.25 * max(abs(cfg_val), 1e-6):
+            logging.warning(
+                "config data.%s=%.4g but this dataset measures %.4g "
+                "(>25%% off) -- update the data: section or the "
+                "pitch/energy bins will misquantize", key, cfg_val, out[key])
     print(json.dumps(out, indent=1))
 
 

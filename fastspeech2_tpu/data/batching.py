@@ -75,6 +75,12 @@ class BucketBatcher:
         host_id/num_hosts: disjoint batch striding for multi-host training.
         bin_size_batches: shuffle locality (BinnedLengthSampler's bin_size is
             bin_size_batches * batch_size).
+        bin_lengths: config train.tts_bin_lengths. True (default): the
+            length-binned order below. False: a plain uniform shuffle --
+            batches mix lengths freely, padding to the batch max like the
+            reference's default DataLoader path (its BinnedLengthSampler was
+            defined but never wired, dataset/dataloader.py:121-150). Costs
+            more pad waste and more compiled (t_pad, l_pad) shapes.
     """
 
     dataset: TTSDataset
@@ -87,10 +93,14 @@ class BucketBatcher:
     num_hosts: int = 1
     bin_size_batches: int = 8
     drop_remainder: bool = True
+    bin_lengths: bool = True
 
     def _order(self, epoch: int, lengths: np.ndarray) -> np.ndarray:
-        """Length-sorted -> binned shuffle -> batch shuffle, seeded by epoch."""
+        """Length-sorted -> binned shuffle -> batch shuffle, seeded by epoch.
+        With bin_lengths=False: uniform permutation, no length structure."""
         g = np.random.default_rng((self.seed, epoch))
+        if not self.bin_lengths:
+            return g.permutation(len(lengths))
         idx = np.argsort(lengths, kind="stable")
         bin_size = self.bin_size_batches * self.batch_size
         bins = [idx[i : i + bin_size] for i in range(0, len(idx), bin_size)]

@@ -204,11 +204,13 @@ def encoder_apply(
                and (tp == 1 or cfg.attention_heads % tp == 0))
     use_fused = fusable and deterministic
     # fused [attention -> out-proj -> +residual] variant: tp=1 only (the
-    # row-parallel out projection's psum must precede the residual under TP)
-    import os
+    # row-parallel out projection's psum must precede the residual under TP).
+    # Kill switch read once at import (ops/flags.py): trace-time branch, so
+    # the env var must be set before the first compile in the process.
+    from fastspeech2_tpu.ops import flags
 
     use_fused_res = (use_fused and not cfg.concat_after and tp == 1
-                     and os.environ.get("FS2_FUSED_ATT_RES", "on") != "off")
+                     and flags.FUSED_ATT_RES)
     # the fused conv-FFN has no head-dim constraint, but it always applies
     # conv-mask (zeroed-past-length) semantics — engage it only when the
     # caller asked for those (exact-unpadded inference), never silently

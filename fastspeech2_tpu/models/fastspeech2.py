@@ -401,14 +401,16 @@ class FastSpeech2:
         # fused frame-level segment (ops/pallas/adaptor.py): expansion +
         # both variance predictor stacks + quantize/embed + residual in one
         # kernel. Same engagement rules as the other serving kernels: bf16
-        # speed path only (the f32 parity path keeps full-precision XLA ops)
-        import os
+        # speed path only (the f32 parity path keeps full-precision XLA ops).
+        # The kill switch is read once at import (ops/flags.py) -- it picks a
+        # trace-time branch, so it must be fixed before the first compile.
+        from fastspeech2_tpu.ops import flags
         if (self._use_fused_attention()
                 and current_compute_dtype() == jnp.bfloat16
                 and tp_degree() == 1
                 and vcfg.n_layers == 2 and vcfg.kernel_size % 2 == 1
                 and vcfg.idim == hs.shape[-1]
-                and os.environ.get("FS2_FUSED_ADAPTOR", "on") != "off"):
+                and flags.FUSED_ADAPTOR):
             from fastspeech2_tpu.ops.length_regulator import expansion_indices
             from fastspeech2_tpu.ops.pallas.adaptor import (
                 variance_adaptor_fused_apply)

@@ -406,7 +406,7 @@ def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,
     partitioning explicit and communication-free -- per-(batch, head) work is
     independent; under TP the psum stays where Megatron puts it, in the
     row-parallel output projection (parallel/sharding.py rules)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from fastspeech2_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
@@ -424,7 +424,7 @@ def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,
 
     return shard_map(inner, mesh=mesh,
                      in_specs=(spec, spec, spec, P(d_ax)),
-                     out_specs=spec, check_rep=False)(q, k, v, lengths)
+                     out_specs=spec, check_vma=False)(q, k, v, lengths)
 
 
 def mha_fused_apply(params, x: Array, lengths: Array, n_heads: int,

@@ -272,7 +272,7 @@ def fused_attention_train_tp(q: Array, k: Array, v: Array, lengths: Array,
     GSPMD all-gathers the batch around the opaque custom call
     (see fused_attention_packed_tp). Differentiation flows through shard_map
     into the kernel's custom VJP per shard."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from fastspeech2_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
@@ -298,4 +298,4 @@ def fused_attention_train_tp(q: Array, k: Array, v: Array, lengths: Array,
 
     return shard_map(inner, mesh=mesh,
                      in_specs=(spec, spec, spec, P(d_ax), P()),
-                     out_specs=spec, check_rep=False)(q, k, v, lengths, seed)
+                     out_specs=spec, check_vma=False)(q, k, v, lengths, seed)

@@ -120,7 +120,7 @@ def data_shard_map(fn, mesh: Mesh, batched):
     """
     if DATA_AXIS not in mesh.axis_names:
         return fn
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     batched = frozenset(batched)
 
@@ -129,7 +129,7 @@ def data_shard_map(fn, mesh: Mesh, batched):
             jax.tree.map(lambda _: P(DATA_AXIS) if i in batched else P(), a)
             for i, a in enumerate(args))
         return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=P(DATA_AXIS), check_rep=False)(*args)
+                         out_specs=P(DATA_AXIS), check_vma=False)(*args)
 
     return wrapped
 

@@ -192,6 +192,29 @@ def _log_validation_sample(model, ts, valid_ds, metrics, step, cfg,
                              gl_iters=audio_steps), sr)
 
 
+def resolve_dp(cfg: Config, n_dev: int, tp: int) -> int:
+    """Data-parallel degree for the train mesh.
+
+    train.dp_size > 0 pins it explicitly (errors if it can't be honored);
+    0 (the default, config.py:147 "use all visible devices") picks the
+    largest dp <= n_dev/tp that divides batch_size -- the data axis must
+    divide both the accumulation-window batch and each micro-batch.
+    """
+    if cfg.train.dp_size > 0:
+        dp = cfg.train.dp_size
+        if dp * tp > n_dev:
+            raise ValueError(
+                f"train.dp_size={dp} x tensor_parallel={tp} needs "
+                f"{dp * tp} devices but only {n_dev} are visible")
+        if cfg.train.batch_size % dp != 0:
+            raise ValueError(
+                f"train.dp_size={dp} must divide train.batch_size="
+                f"{cfg.train.batch_size} (the batch shards over 'data')")
+        return dp
+    return next(d for d in range(min(n_dev // tp, cfg.train.batch_size), 0, -1)
+                if cfg.train.batch_size % d == 0)
+
+
 def train(cfg: Config, name: str, outdir: str,
           resume_path: Optional[str] = None,
           max_steps: Optional[int] = None,
@@ -272,11 +295,8 @@ def _train(cfg: Config, name: str, outdir: str,
         log.info("resumed from %s at step %d", resume_path, step0)
 
     accum = cfg.train.accum_grad
-    # the data axis must divide both the accumulation-window batch and each
-    # micro-batch; size the mesh accordingly (normally batch_size % n_dev == 0)
     n_dev = len(jax.devices())
-    dp = next(d for d in range(min(n_dev // tp, cfg.train.batch_size), 0, -1)
-              if cfg.train.batch_size % d == 0)
+    dp = resolve_dp(cfg, n_dev, tp)
     if dp * tp != n_dev:
         log.warning("using %d of %d devices (dp=%d x tp=%d; batch_size %d)",
                     dp * tp, n_dev, dp, tp, cfg.train.batch_size)
@@ -307,11 +327,16 @@ def _train(cfg: Config, name: str, outdir: str,
     batcher = BucketBatcher(
         train_ds, batch_size=cfg.train.batch_size * accum,
         max_frames=cfg.train.tts_max_mel_len, seed=cfg.train.seed,
-        host_id=host_id, num_hosts=num_hosts)
+        host_id=host_id, num_hosts=num_hosts,
+        bin_lengths=cfg.train.tts_bin_lengths)
 
-    ckpt_dir = os.path.join(outdir, "checkpoints", name)
+    # train.chkpt_dir/log_dir (reference train_fastspeech.py:27,83-84): joined
+    # under --outdir when relative; an absolute config path wins outright
+    # (os.path.join semantics), matching the reference's use of the raw value.
+    ckpt_dir = os.path.normpath(os.path.join(outdir, cfg.train.chkpt_dir, name))
     ckpt_writer = AsyncCheckpointer()  # periodic saves overlap the loop
-    metrics = MetricsWriter(os.path.join(outdir, "logs", name)) if is_host0 else None
+    log_dir = os.path.normpath(os.path.join(outdir, cfg.train.log_dir, name))
+    metrics = MetricsWriter(log_dir) if is_host0 else None
     tput = Throughput(cfg.audio.hop_length, cfg.audio.sample_rate)
     rng = jax.random.PRNGKey(cfg.train.seed + host_id)
 

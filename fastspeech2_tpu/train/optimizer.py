@@ -38,8 +38,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     def scaled_schedule(count):
         return schedule(count + 1)  # optax count starts at 0; NoamOpt at 1
 
+    # train.weight_decay: the reference's default.yaml defines 0.001 but its
+    # get_std_opt never passes it to Adam (core/optimizer.py:59-68) -- a
+    # silent dead knob there. Here it is real: AdamW-style decoupled decay
+    # (added after the Adam moment rescale, before the LR scale, so decay is
+    # scheduled by the same Noam LR). 0.0 (the default) adds no op.
+    decay = [optax.add_decayed_weights(cfg.train.weight_decay)] \
+        if cfg.train.weight_decay else []
     inner = optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-9),
+        *decay,
         optax.scale_by_learning_rate(scaled_schedule),
     )
     # note: optax.flatten (one concatenated optimizer vector) was measured
