@@ -50,6 +50,9 @@ class _Request:
     mel: Optional[np.ndarray] = None
     wav: Optional[np.ndarray] = None  # set when the batcher runs fused tts
     error: Optional[str] = None
+    # frame buffer hit the synthesizer's max_frames ceiling: the audio is
+    # capped (Synthesizer._check_saturation); surfaced in the response
+    truncated: bool = False
 
 
 class Batcher:
@@ -67,7 +70,7 @@ class Batcher:
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.q: "queue.Queue[_Request]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "frames": 0}
+        self.stats = {"requests": 0, "batches": 0, "frames": 0, "truncated": 0}
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -111,20 +114,27 @@ class Batcher:
                 # device call produces mel AND wav for the whole micro-batch
                 # (no per-request vocoder dispatches, no mel re-upload).
                 if getattr(self.synth, "has_vocoder", False):
-                    mels, wavs, wav_lens = self.synth.wav_from_token_batch(
-                        [r.tokens for r in batch],
-                        alpha=[r.alpha for r in batch])
+                    mels, wavs, wav_lens, trunc = \
+                        self.synth.wav_from_token_batch(
+                            [r.tokens for r in batch],
+                            alpha=[r.alpha for r in batch],
+                            return_truncated=True)
                     hop = self.synth.hop_length
                     out_lens = wav_lens // hop
-                    for r, mel, wav, wn in zip(batch, mels, wavs, wav_lens):
+                    for r, mel, wav, wn, tr in zip(batch, mels, wavs,
+                                                   wav_lens, trunc):
                         r.mel = mel[: int(wn) // hop]
                         r.wav = wav[: int(wn)]
+                        r.truncated = bool(tr)
                 else:
-                    mels, out_lens = self.synth.mel_from_token_batch(
+                    mels, out_lens, trunc = self.synth.mel_from_token_batch(
                         [r.tokens for r in batch],
-                        alpha=[r.alpha for r in batch])
-                    for r, mel, n in zip(batch, mels, out_lens):
+                        alpha=[r.alpha for r in batch],
+                        return_truncated=True)
+                    for r, mel, n, tr in zip(batch, mels, out_lens, trunc):
                         r.mel = mel[: int(n)]
+                        r.truncated = bool(tr)
+                self.stats["truncated"] += int(np.sum(trunc))
                 self.stats["requests"] += len(batch)
                 self.stats["batches"] += 1
                 self.stats["frames"] += int(np.sum(out_lens))
@@ -279,16 +289,21 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                 return
             latency = time.perf_counter() - t0
             if fmt == "mel":
-                self._json(200, {
+                obj = {
                     "mel": np.asarray(req.mel, np.float32).tolist(),
                     "frames": int(req.mel.shape[0]),
                     "latency_s": round(latency, 4),
-                })
+                }
+                if req.truncated:  # frame buffer hit max_frames: audio capped
+                    obj["truncated"] = True
+                self._json(200, obj)
             else:
                 body = _wav_bytes(self._req_pcm(req), cfg.audio.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
+                if req.truncated:
+                    self.send_header("X-Truncated", "1")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -350,6 +365,8 @@ def make_handler(batcher: Batcher, cfg, vocoder=None):
                     log.error("stream aborted: %s", req.error)
                     self.close_connection = True
                     return
+                if req.truncated:  # status line already sent: log + stats
+                    log.warning("stream sentence truncated at the frame cap")
                 self._chunk(self._req_pcm(req).tobytes())
             self._chunk(b"")  # terminating zero-length chunk
 

@@ -12,6 +12,7 @@ jit cache stays warm across calls; batches of sentences run in one device call.
 from __future__ import annotations
 
 import contextlib
+import logging
 import math
 import time
 from typing import List, Optional, Sequence, Tuple
@@ -24,6 +25,8 @@ from fastspeech2_tpu.config import Config
 from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
 from fastspeech2_tpu.text import phonemes_to_sequence
 from fastspeech2_tpu.text.g2p import preprocess_text, process_paragraph
+
+log = logging.getLogger("fastspeech2_tpu.synth")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -245,16 +248,46 @@ class Synthesizer:
         base = t_pad * self.frames_per_token * max(alpha_max, 1.0)
         return min(_round_up(int(np.ceil(base)), 256), self.max_frames)
 
+    def _grow_l_pad(self, l_pad: int) -> int:
+        """Next frame-buffer bucket after a saturation retrigger."""
+        return min(_round_up(l_pad * 2, 256), self.max_frames)
+
+    def _check_saturation(self, out_lens: np.ndarray, l_pad: int,
+                          B: int) -> Tuple[bool, np.ndarray]:
+        """(must_grow, truncated_rows) for a batch result.
+
+        ``expansion_indices`` CLIPS out_lens to the static buffer
+        (ops/length_regulator.py:45), so a row at out_lens == l_pad may have
+        wanted more frames -- the reference's LengthRegulator never truncates
+        (core/duration_modeling/length_regulator.py:60-95), so silent capping
+        here would be a parity break with no signal. Rows at the cap trigger
+        a re-bucket to a larger buffer while max_frames allows; at the
+        max_frames ceiling they are reported as truncated instead."""
+        sat = np.asarray(out_lens[:B]) >= l_pad
+        if not sat.any():
+            return False, sat
+        if l_pad < self.max_frames:
+            return True, sat
+        log.warning(
+            "frame buffer saturated at max_frames=%d for %d/%d rows -- "
+            "audio is truncated (raise max_frames or split the input)",
+            self.max_frames, int(sat.sum()), B)
+        return False, sat
+
     def wav_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return_truncated: bool = False,
+    ):
         """List of id sequences -> (mel (B, L, n_mels) f32, wav (B, L*hop)
         int16 PCM, wav valid lengths = out_lens*hop). Requires
-        attach_vocoder or attach_vocoder_fn."""
+        attach_vocoder or attach_vocoder_fn. return_truncated appends a (B,)
+        bool array marking rows capped by max_frames (see
+        _check_saturation)."""
         if not token_seqs or not all(len(s) for s in token_seqs):
             raise ValueError("empty token sequence: input produced no phonemes")
         if self._voc is None and self._voc_fn is not None:
-            mel, out_lens = self.mel_from_token_batch(token_seqs, alpha)
+            mel, out_lens, trunc = self.mel_from_token_batch(
+                token_seqs, alpha, return_truncated=True)
             hop = self._voc_fn_hop
             batched = getattr(self._voc_fn, "batched", None)
             if batched is not None:
@@ -269,6 +302,8 @@ class Synthesizer:
                 for i in range(len(token_seqs)):
                     w = np.asarray(self._voc_fn(mel[i, : out_lens[i]]))
                     wav16[i, : w.shape[0]] = pcm16(w, np)
+            if return_truncated:
+                return mel, wav16, out_lens * hop, trunc
             return mel, wav16, out_lens * hop
         assert self._voc is not None, "attach_vocoder(_fn) first"
         B = len(token_seqs)
@@ -281,18 +316,30 @@ class Synthesizer:
         for i, s in enumerate(token_seqs):
             xs[i, : len(s)] = s
             ilens[i] = len(s)
-        mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
-            self.params, self.state, self._voc_params,
-            jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(alphas))
-        mel, wav, out_lens = self._host(mel, wav, out_lens)
-        return (mel[:B], wav[:B], out_lens[:B] * self._voc.cfg.hop_length)
+        while True:
+            mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
+                self.params, self.state, self._voc_params,
+                jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(alphas))
+            mel, wav, out_lens = self._host(mel, wav, out_lens)
+            grow, trunc = self._check_saturation(out_lens, l_pad, B)
+            if not grow:
+                break
+            l_pad = self._grow_l_pad(l_pad)
+        hop = self._voc.cfg.hop_length
+        if return_truncated:
+            return mel[:B], wav[:B], out_lens[:B] * hop, trunc
+        return mel[:B], wav[:B], out_lens[:B] * hop
 
     def mel_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        return_truncated: bool = False,
+    ):
         """List of id sequences -> (mel (B, L, n_mels), out_lens (B,)).
 
-        alpha: scalar or per-sequence speed control.
+        alpha: scalar or per-sequence speed control. return_truncated appends
+        a (B,) bool array marking rows capped by max_frames (see
+        _check_saturation); rows that merely outgrow the first frame bucket
+        are re-run on a larger buffer automatically and are NOT truncated.
         """
         if not token_seqs or not all(len(s) for s in token_seqs):
             raise ValueError("empty token sequence: input produced no phonemes")
@@ -307,10 +354,17 @@ class Synthesizer:
             xs[i, : len(s)] = s
             ilens[i] = len(s)
         ilens[B:] = 1  # padded rows: minimal valid length, sliced away below
-        mel, out_lens, _ = self._fn(t_pad, l_pad)(
-            self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens),
-            jnp.asarray(alphas))
-        mel, out_lens = self._host(mel, out_lens)
+        while True:
+            mel, out_lens, _ = self._fn(t_pad, l_pad)(
+                self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens),
+                jnp.asarray(alphas))
+            mel, out_lens = self._host(mel, out_lens)
+            grow, trunc = self._check_saturation(out_lens, l_pad, B)
+            if not grow:
+                break
+            l_pad = self._grow_l_pad(l_pad)
+        if return_truncated:
+            return mel[:B], out_lens[:B], trunc
         return mel[:B], out_lens[:B]
 
     def warmup(self, batch_sizes=(1, 16), token_lens=(32, 96)) -> int:

@@ -477,3 +477,63 @@ def test_fused_attention_res_matches_xla_segment(rng):
                                          H, interpret=True, block_q=8)
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fused_adaptor_through_inference_matches_xla_branch(monkeypatch):
+    """Integration (ADVICE r3 #3): flip ONLY the FUSED_ADAPTOR kill switch and
+    run the real ``FastSpeech2.inference`` twice -- fused kernel branch
+    (interpret mode) vs the in-tree XLA branch. Unlike the kernel-vs-oracle
+    tests above, the oracle here IS models/fastspeech2.py's own XLA segment,
+    so it cannot drift from the production code. Everything upstream
+    (encoder, durations) and downstream (decoder) is byte-identical between
+    the runs, isolating the comparison to the adaptor segment."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fastspeech2_tpu.ops.pallas.adaptor as adaptor_mod
+    from fastspeech2_tpu.config import Config, ModelConfig
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.ops import flags
+    from fastspeech2_tpu.ops.precision import compute_dtype
+
+    cfg = Config(model=ModelConfig(adim=32, aheads=2, elayers=1, eunits=64,
+                                   ddim=32, dlayers=1, dunits=64,
+                                   postnet_layers=2, postnet_chans=16,
+                                   positionwise_conv_kernel_size=3,
+                                   duration_predictor_chans=16,
+                                   fused_attention="on"))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # bias durations up so the frame-level segment sees real expansion
+    params["duration_predictor"]["out"]["b"] = (
+        params["duration_predictor"]["out"]["b"] + 1.5)
+    g = np.random.default_rng(0)
+    B, T, L = 2, 12, 64
+    xs = jnp.asarray(g.integers(1, 68, (B, T)), jnp.int32)
+    ilens = jnp.asarray([T, 7], jnp.int32)
+
+    kernel_calls = []
+    real_fused = adaptor_mod.variance_adaptor_fused_apply
+
+    def spy(*a, **k):
+        kernel_calls.append(1)
+        return real_fused(*a, **k)
+
+    monkeypatch.setattr(adaptor_mod, "variance_adaptor_fused_apply", spy)
+
+    def run(fused: bool):
+        monkeypatch.setattr(flags, "FUSED_ADAPTOR", fused)
+        with pltpu.force_tpu_interpret_mode(), compute_dtype(jnp.bfloat16):
+            mel, lens, durs = model.inference(params, state, xs, ilens,
+                                              out_maxlen=L)
+        return np.asarray(mel), np.asarray(lens), np.asarray(durs)
+
+    mel_f, lens_f, durs_f = run(True)
+    assert kernel_calls, "fused adaptor branch did not engage"
+    mel_x, lens_x, durs_x = run(False)
+    assert len(kernel_calls) == 1, "kill switch off still hit the kernel"
+
+    np.testing.assert_array_equal(lens_f, lens_x)
+    np.testing.assert_array_equal(durs_f, durs_x)
+    # both runs compute in bf16; the fused kernel may round differently
+    assert np.abs(mel_f - mel_x).mean() < 0.02, np.abs(mel_f - mel_x).mean()
+    assert np.abs(mel_f - mel_x).max() < 0.2, np.abs(mel_f - mel_x).max()
