@@ -44,12 +44,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _device_region_ms(trace_dir: str):
-    """Sum of per-call ``jit_*`` region durations (ms) on the device track of
-    the trace in ``trace_dir``, with the call count. Picks the jit_* group
-    with the largest total time (the workload's executable; tiny helper jits
-    lose). Returns (total_ms, n_calls) or (None, 0) when no device track
-    exists (CPU)."""
+def _device_region_ms(trace_dir: str, expect_calls: int = 0):
+    """Total ``jit_*`` region time (ms) on the device track of the trace in
+    ``trace_dir``, with the per-workload call count.
+
+    Sums ALL jit_* device groups (ADVICE r3 #2): a step that lowers to more
+    than one executable (e.g. a donation split) contributes every piece, so
+    the device time cannot silently undercount. The call count is the max
+    per-group count (each executable of a multi-part step runs once per
+    step). When ``expect_calls`` is given and the count disagrees, the
+    window is reported unusable (None) rather than returning a number whose
+    denominator is wrong. Returns (total_ms, n_calls) or (None, 0) when no
+    device track exists (CPU)."""
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                              recursive=True))
     if not paths:
@@ -73,8 +79,13 @@ def _device_region_ms(trace_dir: str):
         groups[name][1] += 1
     if not groups:
         return None, 0
-    us, n = max(groups.values(), key=lambda v: v[0])
-    return us / 1000.0, n
+    total_us = sum(v[0] for v in groups.values())
+    n = max(v[1] for v in groups.values())
+    if expect_calls and n != expect_calls:
+        print(f"bench: trace in {trace_dir} saw {n} device calls, expected "
+              f"{expect_calls}; window dropped", file=sys.stderr)
+        return None, 0
+    return total_us / 1000.0, n
 
 
 def _baseline(key):
@@ -188,8 +199,11 @@ def bench_train():
 
     # device-region timing per window (see module docstring): dispatches
     # pipeline, the trace's jit_* region durations are device timestamps,
-    # so the window is immune to the tunnel's per-round-trip cost
-    window_ms, wall_ms, final_loss, i = [], [], 0.0, 0
+    # so the window is immune to the tunnel's per-round-trip cost. Device-
+    # and wall-clocked windows are never mixed in one median (ADVICE r3 #2):
+    # the headline is the device median when ANY device windows exist
+    # (clock="device"), else the wall median (CPU; clock="wall").
+    dev_windows, wall_ms, final_loss, i = [], [], 0.0, 0
     for w in range(windows):
         tdir = tempfile.mkdtemp(prefix=f"bench_train_w{w}_")
         t0 = time.perf_counter()
@@ -202,10 +216,13 @@ def bench_train():
             # (verify skill: a 42 ms step once "measured" 2.9 ms that way)
             final_loss = float(np.asarray(report["loss"]))
         wall_ms.append((time.perf_counter() - t0) / reps * 1000.0)
-        dev_ms, n = _device_region_ms(tdir)
-        window_ms.append(dev_ms / max(n, 1) if dev_ms else wall_ms[-1])
+        dev_ms, n = _device_region_ms(tdir, expect_calls=reps)
+        if dev_ms:
+            dev_windows.append(dev_ms / n)
+    window_ms = dev_windows if dev_windows else wall_ms
     step_ms, iqr_ms = _median_iqr(window_ms)
     wall_step_ms, _ = _median_iqr(wall_ms)
+    clock = "device" if dev_windows else "wall"
 
     base_s = _baseline("torch_cpu_train_step_s")
     vs = (base_s * 1000.0) / step_ms if base_s else 0.0
@@ -222,11 +239,68 @@ def bench_train():
         "train_step_ms_windows": [round(w, 2) for w in window_ms],
         "train_step_ms_iqr": round(iqr_ms, 2),
         "train_step_ms_wall": round(wall_step_ms, 2),
+        "train_clock": clock,
+        "train_windows_used": f"{len(window_ms)}/{windows}",
         "train_flops_per_step": flops_step,
     }
     if peak:
         extra["mfu_train"] = round(flops_step / (step_ms / 1e3) / peak, 4)
     return step_ms, vs, extra
+
+
+def bench_correctness(model, params, state):
+    """On-chip compiled-kernel correctness artifact (VERDICT r3 next #1).
+
+    Runs the 5-sentence parity set (PARITY.md methodology, same set as
+    scripts/measure_int8.py) through BOTH serving tiers: the bf16 speed path
+    with every fused Pallas kernel engaged -- compiled for the real chip,
+    NOT interpret mode -- and the f32 matmul_precision="highest" XLA path.
+    Emits the numeric deviation next to the speed numbers so a Mosaic or
+    compiler regression that corrupts kernel output can never hide behind a
+    fast number. Numerics contract: reference core/attention.py:58-65
+    (mask -> -inf -> softmax -> re-zero) and fastspeech.py:192-238.
+
+    TPU only: on CPU the fused kernels don't engage (fused_attention="auto")
+    so the comparison would not exercise the compiled kernel path.
+    """
+    from fastspeech2_tpu.data.filelist import parse_filelist
+    from fastspeech2_tpu.infer.synthesize import Synthesizer
+    from fastspeech2_tpu.text import phonemes_to_sequence
+
+    entries = parse_filelist("/root/reference/filelists/valid_filelist.txt")
+    parity_set = [np.asarray(phonemes_to_sequence(e.phonemes), np.int32)
+                  for e in entries[:5]]
+
+    speed = Synthesizer(model, params, state, bf16=True)
+    ref = Synthesizer(model, params, state, matmul_precision="highest")
+    mel_s, len_s = speed.mel_from_token_batch(parity_set)
+    mel_r, len_r = ref.mel_from_token_batch(parity_set)
+
+    maes, maxes, matched_maes, dur_match = [], [], [], 0
+    for i in range(len(parity_set)):
+        ls, lr = int(len_s[i]), int(len_r[i])
+        n = min(ls, lr)
+        d = np.abs(mel_s[i, :n].astype(np.float64)
+                   - mel_r[i, :n].astype(np.float64))
+        maes.append(float(d.mean()))
+        maxes.append(float(d.max()))
+        if ls == lr:
+            # frame-aligned: deviation here is PURE kernel/precision
+            # numerics. Sentences whose duration rounding flipped at a bf16
+            # knife-edge shift all downstream frames, so their pointwise
+            # diff measures alignment, not correctness -- they are tracked
+            # by duration_match instead.
+            dur_match += 1
+            matched_maes.append(float(d.mean()))
+    return {
+        "mel_mae_bf16_vs_f32": round(float(np.mean(maes)), 5),
+        "mel_maxabs_bf16_vs_f32": round(float(np.max(maxes)), 5),
+        "mel_mae_duration_matched": (round(float(np.mean(matched_maes)), 5)
+                                     if matched_maes else None),
+        "duration_match": f"{dur_match}/{len(parity_set)}",
+        "parity_frames_bf16": [int(x) for x in len_s],
+        "parity_frames_f32": [int(x) for x in len_r],
+    }
 
 
 def main():
@@ -281,7 +355,7 @@ def main():
     # dispatches pipeline and execute back-to-back on the device; the
     # trace's jit_infer region durations are contiguous device timestamps,
     # immune to the tunnel's per-round-trip cost
-    window_fps, wall_fps = [], []
+    dev_fps, wall_fps = [], []
     for w in range(windows):
         tdir = tempfile.mkdtemp(prefix=f"bench_serve_w{w}_")
         t0 = time.perf_counter()
@@ -293,13 +367,14 @@ def main():
             np.asarray(out_lens)
         dt = time.perf_counter() - t0
         wall_fps.append(frames_per_call * reps / dt)
-        dev_ms, n = _device_region_ms(tdir)
+        dev_ms, n = _device_region_ms(tdir, expect_calls=reps)
         if dev_ms:
-            window_fps.append(frames_per_call * n / (dev_ms / 1000.0))
-        else:
-            window_fps.append(wall_fps[-1])
+            dev_fps.append(frames_per_call * n / (dev_ms / 1000.0))
+    # device- and wall-clocked windows never share a median (ADVICE r3 #2)
+    window_fps = dev_fps if dev_fps else wall_fps
     fps, fps_iqr = _median_iqr(window_fps)
     wall_fps_med, _ = _median_iqr(wall_fps)
+    serve_clock = "device" if dev_fps else "wall"
     audio_sps = fps * cfg.audio.hop_length / cfg.audio.sample_rate
 
     baseline_fps = _baseline("torch_cpu_mel_frames_per_s")
@@ -307,6 +382,9 @@ def main():
     peak = peak_flops_per_s()
 
     train_ms, train_vs, train_extra = bench_train()
+
+    # per-round on-chip correctness band next to the speed numbers
+    correctness = bench_correctness(model, params, state) if bf16 else {}
 
     extra = {
         "audio_seconds_per_s": round(audio_sps, 2),
@@ -316,10 +394,13 @@ def main():
         "serving_fps_windows": [round(f, 1) for f in window_fps],
         "serving_fps_iqr": round(fps_iqr, 1),
         "serving_fps_wall": round(wall_fps_med, 1),
+        "serving_clock": serve_clock,
+        "serving_windows_used": f"{len(window_fps)}/{windows}",
         "serving_flops_per_call": flops_per_call,
         "train_step_ms": round(train_ms, 2),
         "train_vs_baseline": round(train_vs, 1),
         **train_extra,
+        **correctness,
     }
     if peak:
         extra["mfu_serving"] = round(

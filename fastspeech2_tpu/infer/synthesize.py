@@ -274,6 +274,77 @@ class Synthesizer:
             self.max_frames, int(sat.sum()), B)
         return False, sat
 
+    def wav_from_token_batch_async(
+        self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
+    ):
+        """Issue the fused text->wav device call WITHOUT blocking on the
+        result; returns a zero-arg finisher whose call performs the
+        device->host transfer (and any saturation re-bucket) and returns
+        (mel, wav16, wav_lens, truncated).
+
+        Why: JAX dispatch is asynchronous, but the device->host read at the
+        end of a serving batch is not -- a synchronous loop leaves the chip
+        idle for one full transfer (plus, on tunneled backends, the
+        round-trip) between micro-batches. Dispatching batch k+1 before
+        finishing batch k (double buffering, infer/server.py Batcher)
+        overlaps compute with delivery. VERDICT r3 next #3."""
+        if not token_seqs or not all(len(s) for s in token_seqs):
+            raise ValueError("empty token sequence: input produced no phonemes")
+        if self._voc is None and self._voc_fn is not None:
+            # host-level vocoder: the mel path dispatches async; the vocoder
+            # itself runs at finish time (it is a separate device program)
+            finish_mel = self.mel_from_token_batch_async(token_seqs, alpha)
+
+            def finish_hostvoc():
+                mel, out_lens, trunc = finish_mel()
+                hop = self._voc_fn_hop
+                batched = getattr(self._voc_fn, "batched", None)
+                if batched is not None:
+                    wav16 = pcm16(np.asarray(batched(mel, out_lens)), np)
+                    tail = (np.arange(wav16.shape[1])[None, :]
+                            >= (out_lens * hop)[:, None])
+                    wav16[tail] = 0
+                else:
+                    wav16 = np.zeros((len(token_seqs), mel.shape[1] * hop),
+                                     np.int16)
+                    for i in range(len(token_seqs)):
+                        w = np.asarray(self._voc_fn(mel[i, : out_lens[i]]))
+                        wav16[i, : w.shape[0]] = pcm16(w, np)
+                return mel, wav16, out_lens * hop, trunc
+
+            return finish_hostvoc
+        assert self._voc is not None, "attach_vocoder(_fn) first"
+        B = len(token_seqs)
+        B_pad = self._b_pad(B)
+        alphas, a_max = self._alphas(alpha, B, B_pad)
+        t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
+        l_pad = self._l_pad(t_pad, a_max)
+        xs = np.zeros((B_pad, t_pad), np.int32)
+        ilens = np.ones((B_pad,), np.int32)
+        for i, s in enumerate(token_seqs):
+            xs[i, : len(s)] = s
+            ilens[i] = len(s)
+        xs_d, ilens_d, alphas_d = (jnp.asarray(xs), jnp.asarray(ilens),
+                                   jnp.asarray(alphas))
+        dev = self._wav_fn(t_pad, l_pad)(
+            self.params, self.state, self._voc_params, xs_d, ilens_d, alphas_d)
+
+        def finish_wav(dev=dev, l_pad=l_pad):
+            while True:
+                mel, wav, out_lens = self._host(*dev)
+                grow, trunc = self._check_saturation(out_lens, l_pad, B)
+                if not grow:
+                    break
+                # rare path: re-dispatch synchronously on a larger buffer
+                l_pad = self._grow_l_pad(l_pad)
+                dev = self._wav_fn(t_pad, l_pad)(
+                    self.params, self.state, self._voc_params,
+                    xs_d, ilens_d, alphas_d)
+            hop = self._voc.cfg.hop_length
+            return mel[:B], wav[:B], out_lens[:B] * hop, trunc
+
+        return finish_wav
+
     def wav_from_token_batch(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
         return_truncated: bool = False,
@@ -306,41 +377,18 @@ class Synthesizer:
                 return mel, wav16, out_lens * hop, trunc
             return mel, wav16, out_lens * hop
         assert self._voc is not None, "attach_vocoder(_fn) first"
-        B = len(token_seqs)
-        B_pad = self._b_pad(B)
-        alphas, a_max = self._alphas(alpha, B, B_pad)
-        t_pad = _round_up(max(len(s) for s in token_seqs), self.token_multiple)
-        l_pad = self._l_pad(t_pad, a_max)
-        xs = np.zeros((B_pad, t_pad), np.int32)
-        ilens = np.ones((B_pad,), np.int32)
-        for i, s in enumerate(token_seqs):
-            xs[i, : len(s)] = s
-            ilens[i] = len(s)
-        while True:
-            mel, wav, out_lens = self._wav_fn(t_pad, l_pad)(
-                self.params, self.state, self._voc_params,
-                jnp.asarray(xs), jnp.asarray(ilens), jnp.asarray(alphas))
-            mel, wav, out_lens = self._host(mel, wav, out_lens)
-            grow, trunc = self._check_saturation(out_lens, l_pad, B)
-            if not grow:
-                break
-            l_pad = self._grow_l_pad(l_pad)
-        hop = self._voc.cfg.hop_length
+        mel, wav16, wav_lens, trunc = self.wav_from_token_batch_async(
+            token_seqs, alpha)()
         if return_truncated:
-            return mel[:B], wav[:B], out_lens[:B] * hop, trunc
-        return mel[:B], wav[:B], out_lens[:B] * hop
+            return mel, wav16, wav_lens, trunc
+        return mel, wav16, wav_lens
 
-    def mel_from_token_batch(
+    def mel_from_token_batch_async(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
-        return_truncated: bool = False,
     ):
-        """List of id sequences -> (mel (B, L, n_mels), out_lens (B,)).
-
-        alpha: scalar or per-sequence speed control. return_truncated appends
-        a (B,) bool array marking rows capped by max_frames (see
-        _check_saturation); rows that merely outgrow the first frame bucket
-        are re-run on a larger buffer automatically and are NOT truncated.
-        """
+        """Issue the mel device call without blocking; returns a zero-arg
+        finisher -> (mel, out_lens, truncated). See
+        wav_from_token_batch_async for the double-buffering rationale."""
         if not token_seqs or not all(len(s) for s in token_seqs):
             raise ValueError("empty token sequence: input produced no phonemes")
         B = len(token_seqs)
@@ -354,18 +402,41 @@ class Synthesizer:
             xs[i, : len(s)] = s
             ilens[i] = len(s)
         ilens[B:] = 1  # padded rows: minimal valid length, sliced away below
-        while True:
-            mel, out_lens, _ = self._fn(t_pad, l_pad)(
-                self.params, self.state, jnp.asarray(xs), jnp.asarray(ilens),
-                jnp.asarray(alphas))
-            mel, out_lens = self._host(mel, out_lens)
-            grow, trunc = self._check_saturation(out_lens, l_pad, B)
-            if not grow:
-                break
-            l_pad = self._grow_l_pad(l_pad)
-        if return_truncated:
+        xs_d, ilens_d, alphas_d = (jnp.asarray(xs), jnp.asarray(ilens),
+                                   jnp.asarray(alphas))
+        dev = self._fn(t_pad, l_pad)(self.params, self.state, xs_d, ilens_d,
+                                     alphas_d)
+
+        def finish_mel(dev=dev, l_pad=l_pad):
+            while True:
+                mel, out_lens = self._host(dev[0], dev[1])
+                grow, trunc = self._check_saturation(out_lens, l_pad, B)
+                if not grow:
+                    break
+                # rare path: re-dispatch synchronously on a larger buffer
+                l_pad = self._grow_l_pad(l_pad)
+                dev = self._fn(t_pad, l_pad)(self.params, self.state, xs_d,
+                                             ilens_d, alphas_d)
             return mel[:B], out_lens[:B], trunc
-        return mel[:B], out_lens[:B]
+
+        return finish_mel
+
+    def mel_from_token_batch(
+        self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
+        return_truncated: bool = False,
+    ):
+        """List of id sequences -> (mel (B, L, n_mels), out_lens (B,)).
+
+        alpha: scalar or per-sequence speed control. return_truncated appends
+        a (B,) bool array marking rows capped by max_frames (see
+        _check_saturation); rows that merely outgrow the first frame bucket
+        are re-run on a larger buffer automatically and are NOT truncated.
+        """
+        mel, out_lens, trunc = self.mel_from_token_batch_async(
+            token_seqs, alpha)()
+        if return_truncated:
+            return mel, out_lens, trunc
+        return mel, out_lens
 
     def warmup(self, batch_sizes=(1, 16), token_lens=(32, 96)) -> int:
         """Pre-compile the serving shapes so the first real requests don't

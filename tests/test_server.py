@@ -184,14 +184,15 @@ def test_batcher_direct():
     calls = []
 
     class FakeSynth:
-        def mel_from_token_batch(self, seqs, alpha=1.0,
-                                 return_truncated=False):
+        def mel_from_token_batch_async(self, seqs, alpha=1.0):
             calls.append(len(seqs))
-            lens = np.asarray([3] * len(seqs))
-            mel = np.zeros((len(seqs), 5, 80), np.float32)
-            if return_truncated:
+
+            def finish():
+                lens = np.asarray([3] * len(seqs))
+                mel = np.zeros((len(seqs), 5, 80), np.float32)
                 return mel, lens, np.zeros(len(seqs), bool)
-            return mel, lens
+
+            return finish
 
     b = Batcher(FakeSynth(), max_batch=8, max_wait_ms=50.0)
     reqs = [b.submit(np.asarray([1, 2, 3], np.int32)) for _ in range(5)]
