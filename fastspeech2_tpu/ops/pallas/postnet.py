@@ -125,7 +125,14 @@ def fused_postnet(x: Array, weights, means, invs, gs, bs, lengths: Array,
     pad = (k - 1) // 2
     halo = n_layers * pad
     if block_t is None:
-        block_t = pick_block_t(L)
+        # larger-first than the shared pick_block_t default: the postnet's
+        # 10-row halo (5 stages x k=5) is recomputed per block, so bigger
+        # blocks amortize it -- measured on v5e at the bench shape (L=896,
+        # true lengths ~479): bt=224 288.5 us vs 128 337.9 / 64 422.2 /
+        # 448 339.6 / 896 407.1 (scripts/measure_block_tunes.py, r4) --
+        # past 224 the dead-block length-skipping loss outweighs the halo
+        # amortization.
+        block_t = pick_block_t(L, candidates=(224, 128, 64, 32, 16, 8))
     assert L % block_t == 0, (L, block_t)
 
     xspec = pl.BlockSpec((1, L, C), lambda b, i, lens: (b, 0, 0),
