@@ -254,15 +254,24 @@ def encoder_apply(
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
         if use_fused_res:
-            from fastspeech2_tpu.ops.pallas.attention import (
-                mha_fused_res_apply)
-
             # fused [attention -> out-proj -> +residual]: the XLA residual
             # add + out-proj round-trips fold into the kernel (tp=1 only --
             # the row-parallel out projection needs its psum before the
-            # residual under TP)
-            x = mha_fused_res_apply(layer["attn"], y, residual, lengths,
-                                    cfg.attention_heads)
+            # residual under TP). Post-LN configs (the default) also fold
+            # the trailing LayerNorm into the kernel epilogue.
+            if cfg.normalize_before:
+                from fastspeech2_tpu.ops.pallas.attention import (
+                    mha_fused_res_apply)
+
+                x = mha_fused_res_apply(layer["attn"], y, residual, lengths,
+                                        cfg.attention_heads)
+            else:
+                from fastspeech2_tpu.ops.pallas.attention import (
+                    mha_fused_res_ln_apply)
+
+                x = mha_fused_res_ln_apply(layer["attn"], layer["norm1"], y,
+                                           residual, lengths,
+                                           cfg.attention_heads)
             next(r)  # attention-dropout + residual-dropout keys: identity on
             next(r)  # this deterministic path; keep the schedule aligned
             att = None
@@ -292,7 +301,8 @@ def encoder_apply(
             else:
                 x = residual + nn.dropout(next(r), att, cfg.dropout_rate,
                                           deterministic=deterministic)
-        if not cfg.normalize_before:
+        if not cfg.normalize_before and not use_fused_res:
+            # post-LN; the fused-res path already applied it in-kernel
             x = nn.layer_norm(layer["norm1"], x)
 
         fuse_ffn = (use_fused_ffn and cfg.positionwise_layer_type == "conv1d"
@@ -308,19 +318,22 @@ def encoder_apply(
                                       lengths)
             next(r)
             next(r)
+        elif fuse_ffn:
+            from fastspeech2_tpu.ops.pallas.ffn import ffn_block_post_apply
+
+            # post-LN (default) twin: [conv-FFN -> +residual -> LN] in one
+            # kernel -- the trailing residual add + LayerNorm XLA fusions
+            # (two full-stream f32 HBM round-trips) fold into the epilogue
+            x = ffn_block_post_apply(layer["norm2"], layer["ffn"], x,
+                                     lengths)
+            next(r)
+            next(r)
         else:
             residual = x
             y = nn.layer_norm(layer["norm2"], x) if cfg.normalize_before else x
-            if fuse_ffn:
-                from fastspeech2_tpu.ops.pallas.ffn import ffn_fused_apply
-
-                # length-adaptive fused conv-FFN (post-LN variant)
-                f = ffn_fused_apply(layer["ffn"], y, lengths)
-                next(r)
-            else:
-                f = ffn_apply(layer["ffn"], cfg, y, rng=next(r),
-                              deterministic=deterministic,
-                              conv_mask=conv_mask)
+            f = ffn_apply(layer["ffn"], cfg, y, rng=next(r),
+                          deterministic=deterministic,
+                          conv_mask=conv_mask)
             x = residual + nn.dropout(next(r), f, cfg.dropout_rate,
                                       deterministic=deterministic)
             if not cfg.normalize_before:

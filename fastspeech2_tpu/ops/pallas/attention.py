@@ -266,37 +266,91 @@ def _attn_kernel_packed_res(len_ref, q_ref, k_ref, v_ref, res_ref, wo_ref,
 
     @pl.when(qi * block_q < length)
     def _live_block():
-        row = (qi * block_q
-               + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0))
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
-        valid = (row < length) & (col < length)
-        neg = jnp.finfo(jnp.float32).min
+        out = _attn_res_tile(q, k, v, res_ref[0], wo_ref, bo_ref, o_scr,
+                             length, qi, scale=scale, block_q=block_q,
+                             n_heads=n_heads, prec=prec, cd=cd)
+        o_ref[0] = out.astype(o_ref.dtype)
 
-        for h in range(n_heads):
-            sl = slice(h * dk, (h + 1) * dk)
-            scores = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ) * scale  # (block_q, T)
 
-            s = jnp.where(valid, scores, neg)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m) * valid.astype(jnp.float32)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
-            attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+def _attn_res_tile(q, k, v, res, wo_ref, bo_ref, o_scr, length, qi, *,
+                   scale, block_q, n_heads, prec, cd):
+    """Live-block core shared by the +res and +res+LN kernels: masked
+    per-head attention -> out projection -> +residual, returning the f32
+    (block_q, D) tile."""
+    T, D = k.shape
+    dk = D // n_heads
+    row = (qi * block_q
+           + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
+    valid = (row < length) & (col < length)
+    neg = jnp.finfo(jnp.float32).min
 
-            o_scr[:, sl] = jax.lax.dot_general(
-                attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            ).astype(cd)
-
-        # ops/nn.py:linear bit-pattern: MXU f32 accumulation rounded to the
-        # compute dtype, widened to f32 for the bias add; then the residual
-        out = jax.lax.dot_general(
-            o_scr[:], wo_ref[:], (((1,), (0,)), ((), ())),
+    for h in range(n_heads):
+        sl = slice(h * dk, (h + 1) * dk)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ).astype(cd).astype(jnp.float32) + bo_ref[0]
-        o_ref[0] = (out + res_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+        ) * scale  # (block_q, T)
+
+        s = jnp.where(valid, scores, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m) * valid.astype(jnp.float32)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        attn = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+
+        o_scr[:, sl] = jax.lax.dot_general(
+            attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(cd)
+
+    # ops/nn.py:linear bit-pattern: MXU f32 accumulation rounded to the
+    # compute dtype, widened to f32 for the bias add; then the residual
+    out = jax.lax.dot_general(
+        o_scr[:], wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(cd).astype(jnp.float32) + bo_ref[0]
+    return out + res.astype(jnp.float32)
+
+
+def _attn_kernel_packed_res_ln(len_ref, q_ref, k_ref, v_ref, res_ref, wo_ref,
+                               bo_ref, g_ref, be_ref, o_ref, o_scr, *,
+                               scale: float, block_q: int, n_heads: int,
+                               eps: float):
+    """:func:`_attn_kernel_packed_res` + post-LN epilogue (the default
+    post-LN FFT block's ``x = LN(residual + out_proj(att))``,
+    models/encoder.py fft_block with normalize_before=False). The separate
+    XLA LayerNorm pass this replaces reads and writes the full (B, T, D)
+    f32 stream once per block; here the LN (f32, torch biased-variance, the
+    ops/nn.py:layer_norm formula) runs on the VMEM-resident tile. Rows past
+    the true length come out as ``LN(res + out_bias)``, exactly what the XLA
+    chain computes for them."""
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    length = len_ref[b]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    cd = q.dtype
+
+    prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def ln(t):
+        mean = jnp.mean(t, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(t - mean), axis=-1, keepdims=True)
+        return (t - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+
+    @pl.when(qi * block_q >= length)
+    def _dead_block():
+        o_ref[0] = ln(res_ref[0].astype(jnp.float32)
+                      + bo_ref[0]).astype(o_ref.dtype)
+
+    @pl.when(qi * block_q < length)
+    def _live_block():
+        out = _attn_res_tile(q, k, v, res_ref[0], wo_ref, bo_ref, o_scr,
+                             length, qi, scale=scale, block_q=block_q,
+                             n_heads=n_heads, prec=prec, cd=cd)
+        o_ref[0] = ln(out).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -387,6 +441,88 @@ def mha_fused_res_apply(params, x: Array, residual: Array, lengths: Array,
     if mesh is not None:
         call = data_shard_map(call, mesh, batched=(0, 1, 2, 3, 4))
     return call(q, k, v, residual, lengths, wo, bo)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "eps", "interpret", "block_q"))
+def fused_attention_packed_res_ln(q: Array, k: Array, v: Array, res: Array,
+                                  wo: Array, bo: Array, g: Array, be: Array,
+                                  lengths: Array, n_heads: int, *,
+                                  eps: float = 1e-5, interpret: bool = False,
+                                  block_q: int | None = None) -> Array:
+    """:func:`fused_attention_packed_res` + post-LN epilogue:
+    ``LN(res + out_proj(attention))`` -- the COMPLETE attention half of a
+    post-LN FFT block in one kernel. g/be: (D,) LayerNorm params."""
+    B, T, D = q.shape
+    assert D % n_heads == 0, (D, n_heads)
+    dk = D // n_heads
+    scale = 1.0 / float(np.sqrt(dk))
+    bq = block_q if block_q is not None else _pick_block_q_adaptive(T)
+    assert T % bq == 0, (T, bq)
+    qspec = pl.BlockSpec((1, bq, D), lambda b, i, lens: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, T, D), lambda b, i, lens: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((D, D), lambda b, i, lens: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, D), lambda b, i, lens: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // bq),
+        in_specs=[qspec, kvspec, kvspec, qspec, wspec, bspec, bspec, bspec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((bq, D), q.dtype)],
+    )
+    kernel = functools.partial(_attn_kernel_packed_res_ln, scale=scale,
+                               block_q=bq, n_heads=n_heads, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (n_heads * T * T * dk * 2 + T * D * D),
+            bytes_accessed=6 * B * T * D * 4 + D * D * 2,
+            transcendentals=B * n_heads * T * T,
+        ),
+    )(lengths.astype(jnp.int32), q, k, v,
+      res.astype(jnp.float32), wo, bo.astype(jnp.float32),
+      g.reshape(1, D).astype(jnp.float32),
+      be.reshape(1, D).astype(jnp.float32))
+
+
+def mha_fused_res_ln_apply(params, p_ln, x: Array, residual: Array,
+                           lengths: Array, n_heads: int, *,
+                           interpret: bool = False) -> Array:
+    """Post-LN FFT-block attention half on the deterministic path:
+    ``LN(residual + out_proj(attention(x)))`` with the LN folded into the
+    kernel epilogue (drop-in for mha_fused_res_apply followed by
+    nn.layer_norm(norm1, .) when normalize_before=False). tp=1 only, like
+    mha_fused_res_apply."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
+
+    dt = current_compute_dtype() or x.dtype
+
+    def proj(p):
+        return nn.linear(p, x, out_dtype=dt)
+
+    q, k, v = proj(params["q"]), proj(params["k"]), proj(params["v"])
+    wo = params["out"]["w"].astype(dt)
+    bo = params["out"]["b"].reshape(1, -1)
+
+    def call(q, k, v, res, lens, wo, bo, g, be):
+        return fused_attention_packed_res_ln(q, k, v, res, wo, bo, g, be,
+                                             lens, n_heads,
+                                             interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 1, 2, 3, 4))
+    return call(q, k, v, residual, lengths, wo, bo, p_ln["g"], p_ln["b"])
 
 
 def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,

@@ -283,6 +283,142 @@ def fused_ffn_block(x: Array, g: Array, beta: Array, w1: Array, b1: Array,
       w2, b2.reshape(1, D).astype(jnp.float32))
 
 
+def _ffn_block_post_kernel(len_ref, x_ref, g_ref, be_ref, w1_ref, b1_ref,
+                           w2_ref, b2_ref, o_ref, xpad_ref, *, kernel: int,
+                           block_t: int, eps: float, cd):
+    """Post-LN FFT-block second half: o = LN(x + FFN(mask(x))).
+
+    The default (normalize_before=False) twin of :func:`_ffn_block_kernel`:
+    no LN on the conv input (the stream was normalized by the attention
+    half), and the trailing residual add + LayerNorm -- two full (B, T, D)
+    f32 HBM round-trips as XLA fusions -- fold into the block epilogue. LN
+    is row-wise over D, so it needs no halo and runs on the VMEM-resident
+    output tile (f32, torch biased-variance, the ops/nn.py:layer_norm
+    formula). Rows past the true length come out as LN(x + bias_row),
+    exactly like the XLA chain on a conv-masked input."""
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    length = len_ref[b]
+    T, D = x_ref.shape[1], x_ref.shape[2]
+    H = w1_ref.shape[2]
+    pad = (kernel - 1) // 2
+    t0 = ti * block_t
+
+    @pl.when(ti == 0)
+    def _fill_scratch():
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
+        xpad_ref[pad:pad + T] = jnp.where(row < length,
+                                          x_ref[0], 0.0).astype(cd)
+        if pad:
+            zeros = jnp.zeros((pad, D), xpad_ref.dtype)
+            xpad_ref[:pad] = zeros
+            xpad_ref[pad + T:] = zeros
+
+    def conv_out(v, bias):
+        return v.astype(cd).astype(jnp.float32) + bias
+
+    def ln(t):
+        mean = jnp.mean(t, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(t - mean), axis=-1, keepdims=True)
+        return (t - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+
+    @pl.when(t0 < length + pad)
+    def _live_block():
+        xw = xpad_ref[pl.ds(t0, block_t + 2 * pad)]
+        acc = jnp.zeros((block_t, H), jnp.float32)
+        for j in range(kernel):
+            acc += jax.lax.dot_general(
+                xw[j:j + block_t], w1_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        h = jax.nn.relu(conv_out(acc, b1_ref[0]).astype(cd))
+        y = jax.lax.dot_general(h, w2_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = ln(x_ref[0, pl.ds(t0, block_t)] + conv_out(y, b2_ref[0]))
+
+    @pl.when(t0 >= length + pad)
+    def _dead_block():
+        h = jax.nn.relu(conv_out(jnp.zeros((1, H), jnp.float32),
+                                 b1_ref[0]).astype(cd))
+        y = jax.lax.dot_general(h, w2_ref[0], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = ln(x_ref[0, pl.ds(t0, block_t)] + conv_out(y, b2_ref[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_t", "eps",
+                                             "cd"))
+def fused_ffn_block_post(x: Array, g: Array, beta: Array, w1: Array,
+                         b1: Array, w2: Array, b2: Array, lengths: Array, *,
+                         eps: float = 1e-5, cd=jnp.bfloat16,
+                         interpret: bool = False,
+                         block_t: int | None = None) -> Array:
+    """x (B, T, D) f32 stream -> LN(x + conv-FFN(mask(x))) -- the post-LN
+    FFT-block second half in one kernel (see _ffn_block_post_kernel)."""
+    B, T, D = x.shape
+    k, _, H = w1.shape
+    assert w2.shape == (1, H, D), (w2.shape, x.shape)
+    if block_t is None:
+        block_t = pick_block_t(T)
+    assert T % block_t == 0, (T, block_t)
+    pad = (k - 1) // 2
+
+    xspec = pl.BlockSpec((1, T, D), lambda b, i, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def wspec(s):
+        return pl.BlockSpec(s, lambda b, i, lens: (0,) * len(s),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // block_t),
+        in_specs=[xspec, wspec((1, D)), wspec((1, D)), wspec(w1.shape),
+                  wspec((1, H)), wspec(w2.shape), wspec((1, D))],
+        out_specs=pl.BlockSpec((1, block_t, D), lambda b, i, lens: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T + 2 * pad, D), cd)],
+    )
+    kern = functools.partial(_ffn_block_post_kernel, kernel=k,
+                             block_t=block_t, eps=eps, cd=cd)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * (k * D * H + H * D),
+            bytes_accessed=B * T * D * 8 + (k * D * H + H * D) * 2,
+            transcendentals=0,
+        ),
+    )(lengths.astype(jnp.int32), x.astype(jnp.float32),
+      g.reshape(1, D).astype(jnp.float32),
+      beta.reshape(1, D).astype(jnp.float32),
+      w1, b1.reshape(1, H).astype(jnp.float32),
+      w2, b2.reshape(1, D).astype(jnp.float32))
+
+
+def ffn_block_post_apply(p_ln, p_ffn, x: Array, lengths: Array, *,
+                         interpret: bool = False) -> Array:
+    """Drop-in for the deterministic POST-LN block tail
+    ``LN(x + ffn_apply(p_ffn, x, conv_mask))`` under a bf16 compute dtype."""
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
+
+    dt = current_compute_dtype() or x.dtype
+
+    def call(x, g, b, w1, b1, w2, b2, lens):
+        return fused_ffn_block_post(x, g, b, w1, b1, w2, b2, lens,
+                                    cd=dt, interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 7))
+    return call(
+        x.astype(jnp.float32), p_ln["g"], p_ln["b"],
+        p_ffn["w1"]["w"].astype(dt), p_ffn["w1"]["b"],
+        p_ffn["w2"]["w"].astype(dt), p_ffn["w2"]["b"], lengths).astype(x.dtype)
+
+
 def ffn_block_fused_apply(p_ln, p_ffn, x: Array, lengths: Array, *,
                           interpret: bool = False) -> Array:
     """Drop-in for the deterministic pre-LN block tail

@@ -537,3 +537,59 @@ def test_fused_adaptor_through_inference_matches_xla_branch(monkeypatch):
     # both runs compute in bf16; the fused kernel may round differently
     assert np.abs(mel_f - mel_x).mean() < 0.02, np.abs(mel_f - mel_x).mean()
     assert np.abs(mel_f - mel_x).max() < 0.2, np.abs(mel_f - mel_x).max()
+
+
+def test_fused_attention_res_ln_matches_res_plus_layernorm(rng):
+    """The post-LN epilogue variant == [packed+res kernel -> nn.layer_norm],
+    including dead q-blocks (rows past length: LN(res + out_bias))."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.attention import (
+        fused_attention_packed_res, fused_attention_packed_res_ln)
+
+    B, T, D, H = 3, 32, 64, 2
+    g = rng
+    q = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    k = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    v = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    res = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    wo = jnp.asarray(g.normal(size=(D, D)) * 0.1, jnp.float32)
+    bo = jnp.asarray(g.normal(size=(1, D)), jnp.float32)
+    gamma = jnp.asarray(g.normal(size=(D,)) * 0.2 + 1.0, jnp.float32)
+    beta = jnp.asarray(g.normal(size=(D,)) * 0.1, jnp.float32)
+    lengths = jnp.asarray([32, 13, 1], jnp.int32)
+
+    base = fused_attention_packed_res(q, k, v, res, wo, bo, lengths, H,
+                                      interpret=True, block_q=8)
+    expect = nn.layer_norm({"g": gamma, "b": beta}, base)
+    got = fused_attention_packed_res_ln(q, k, v, res, wo, bo, gamma, beta,
+                                        lengths, H, interpret=True, block_q=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_ffn_block_post_matches_xla_chain(rng):
+    """Post-LN FFT-block tail kernel == mask -> conv-FFN -> +residual -> LN
+    as separate XLA ops (ffn_fused_apply is itself oracle-tested above)."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.ffn import (ffn_fused_apply,
+                                                fused_ffn_block_post)
+
+    B, T, D, H, k = 3, 32, 16, 48, 9
+    g = rng
+    key = jax.random.PRNGKey(2)
+    p = {"w1": {"w": jnp.asarray(g.normal(size=(k, D, H)) * 0.2, jnp.float32),
+                "b": jnp.asarray(g.normal(size=(H,)), jnp.float32)},
+         "w2": {"w": jnp.asarray(g.normal(size=(1, H, D)) * 0.2, jnp.float32),
+                "b": jnp.asarray(g.normal(size=(D,)), jnp.float32)}}
+    gamma = jnp.asarray(g.normal(size=(D,)) * 0.2 + 1.0, jnp.float32)
+    beta = jnp.asarray(g.normal(size=(D,)) * 0.1, jnp.float32)
+    x = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 19, 2], jnp.int32)
+
+    f = ffn_fused_apply(p, x, lengths, interpret=True)
+    expect = nn.layer_norm({"g": gamma, "b": beta}, x + f)
+    got = fused_ffn_block_post(x, gamma, beta, p["w1"]["w"], p["w1"]["b"],
+                               p["w2"]["w"], p["w2"]["b"], lengths,
+                               cd=jnp.float32, interpret=True, block_t=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
