@@ -593,3 +593,56 @@ def test_fused_ffn_block_post_matches_xla_chain(rng):
                                cd=jnp.float32, interpret=True, block_t=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_postln_fused_block_through_encoder_matches_xla(monkeypatch):
+    """Integration: the post-LN fused attention+LN and FFN+LN epilogues
+    engage through the real encoder_apply (default normalize_before=False)
+    and agree with the pure-XLA path, both under the bf16 compute dtype
+    (interpret mode on CPU). Spies prove both new kernels actually ran."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fastspeech2_tpu.ops.pallas.attention as attn_mod
+    import fastspeech2_tpu.ops.pallas.ffn as ffn_mod
+    from fastspeech2_tpu.models.encoder import (EncoderConfig, encoder_apply,
+                                                init_encoder)
+    from fastspeech2_tpu.ops.masks import attention_mask, make_non_pad_mask
+    from fastspeech2_tpu.ops.precision import compute_dtype
+
+    # d_k = 256/2 = 128: the fused attention engages; post-LN default
+    cfg = EncoderConfig(idim=40, attention_dim=256, attention_heads=2,
+                        linear_units=64, num_blocks=1, input_layer="embed",
+                        positionwise_conv_kernel_size=3)
+    params = init_encoder(jax.random.PRNGKey(0), cfg)
+    g = np.random.default_rng(0)
+    B, T = 2, 32
+    xs = jnp.asarray(g.integers(1, 40, (B, T)), jnp.int32)
+    ilens = jnp.asarray([T, 13], jnp.int32)
+    mask = attention_mask(ilens, T)
+    conv_mask = make_non_pad_mask(ilens, T)
+
+    attn_calls, ffn_calls = [], []
+    real_attn = attn_mod.fused_attention_packed_res_ln
+    real_ffn = ffn_mod.fused_ffn_block_post
+    monkeypatch.setattr(attn_mod, "fused_attention_packed_res_ln",
+                        lambda *a, **k: (attn_calls.append(1),
+                                         real_attn(*a, **k))[1])
+    monkeypatch.setattr(ffn_mod, "fused_ffn_block_post",
+                        lambda *a, **k: (ffn_calls.append(1),
+                                         real_ffn(*a, **k))[1])
+
+    def run(fused):
+        with pltpu.force_tpu_interpret_mode(), compute_dtype(jnp.bfloat16):
+            return np.asarray(encoder_apply(
+                params, cfg, xs, mask, conv_mask=conv_mask, lengths=ilens,
+                fused_attention=fused))
+
+    out_fused = run(True)
+    assert attn_calls and ffn_calls, "post-LN fused paths did not engage"
+    n_attn, n_ffn = len(attn_calls), len(ffn_calls)
+    out_xla = run(False)
+    assert (len(attn_calls), len(ffn_calls)) == (n_attn, n_ffn), \
+        "XLA run must not touch the fused kernels"
+    # bf16 rounding differs between the paths; LN keeps scale ~1
+    assert np.abs(out_fused - out_xla).mean() < 0.02
+    assert np.abs(out_fused - out_xla).max() < 0.25
