@@ -170,12 +170,14 @@ def main():
         f, by, f"bq={bq_e}")
     bt_e = pick_block_t(T)
     live_e = float(np.sum(ceil_blocks(ilens, bt_e) * bt_e))
-    add("enc conv-FFN (x4)",
+    # post-LN block-tail kernels (r4): x rides in f32 (4B) and the LN'd
+    # output writes f32 -- the residual/LN glue's HBM traffic moved in-kernel
+    add("enc conv-FFN+LN (x4)",
         sum(v for k_, v in times.items()
             if k_.startswith("fused_ffn") and v < 400) / 4,
         live_e * ffn_flops_per_frame(m.adim, m.eunits,
                                      m.positionwise_conv_kernel_size),
-        (B * T * m.adim * 2 + live_e * (m.adim + m.eunits)) * 2.0,
+        B * T * m.adim * (4 + 4) + live_e * m.adim * 2,
         f"bt={bt_e}")
 
     # decoder kernels (frame axis: lens = out_lens, pad L=896)
@@ -187,12 +189,12 @@ def main():
         f, by, f"bq={bq_d}")
     bt_d = pick_block_t(L)
     live_d = float(np.sum(ceil_blocks(out_lens, bt_d) * bt_d))
-    add("dec conv-FFN (x4)",
+    add("dec conv-FFN+LN (x4)",
         sum(v for k_, v in times.items()
             if k_.startswith("fused_ffn") and v >= 400) / 4,
         live_d * ffn_flops_per_frame(m.ddim, m.dunits,
                                      m.positionwise_conv_kernel_size),
-        (B * L * m.ddim * 2 + live_d * (m.ddim + m.dunits)) * 2.0,
+        B * L * m.ddim * (4 + 4) + live_d * m.ddim * 2,
         f"bt={bt_d}")
 
     live_a = float(np.sum(ceil_blocks(out_lens, bt_d) * bt_d))
@@ -202,9 +204,11 @@ def main():
          + B * L * m.adim * 2 * 2  # out f32... out is f32: 4 bytes
          ) * 1.0 + B * L * 4, f"bl={bt_d}")
 
+    bt_pn = pick_block_t(L, candidates=(224, 128, 64, 32, 16, 8))
+    live_pn = float(np.sum(ceil_blocks(out_lens, bt_pn) * bt_pn))
     add("postnet", times.get("fused_postnet.1", 0),
-        live_a * postnet_flops_per_frame(),
-        (B * L * cfg.audio.num_mels * (2 + 4)) * 1.0, f"bt={bt_d}")
+        live_pn * postnet_flops_per_frame(),
+        (B * L * cfg.audio.num_mels * (2 + 4)) * 1.0, f"bt={bt_pn}")
 
     print(f"{'kernel':26s} {'us/call':>8s} {'TF/s':>7s} {'%MXU':>6s} "
           f"{'GB/s':>7s} {'%HBM':>6s}  bind  note")
