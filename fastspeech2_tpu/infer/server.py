@@ -100,8 +100,13 @@ class Batcher:
         self.thread.join(timeout=5)
         if self.thread.is_alive():
             # dispatch wedged (e.g. a hung device call): don't also hang on
-            # the delivery sentinel it will never send
-            self._pending.put(None)
+            # the delivery sentinel it will never send. put_nowait: a FULL
+            # pending queue means delivery is wedged too -- never block
+            # close() on it
+            try:
+                self._pending.put_nowait(None)
+            except queue.Full:
+                pass
         self.delivery_thread.join(timeout=5)
 
     def _take_batch(self) -> List[_Request]:

@@ -354,34 +354,8 @@ class Synthesizer:
         attach_vocoder or attach_vocoder_fn. return_truncated appends a (B,)
         bool array marking rows capped by max_frames (see
         _check_saturation)."""
-        if not token_seqs or not all(len(s) for s in token_seqs):
-            raise ValueError("empty token sequence: input produced no phonemes")
-        if self._voc is None and self._voc_fn is not None:
-            mel, out_lens, trunc = self.mel_from_token_batch(
-                token_seqs, alpha, return_truncated=True)
-            hop = self._voc_fn_hop
-            batched = getattr(self._voc_fn, "batched", None)
-            if batched is not None:
-                # one device call for the whole micro-batch (static shape)
-                wav16 = pcm16(np.asarray(batched(mel, out_lens)), np)
-                tail = (np.arange(wav16.shape[1])[None, :]
-                        >= (out_lens * hop)[:, None])
-                wav16[tail] = 0
-            else:
-                wav16 = np.zeros((len(token_seqs), mel.shape[1] * hop),
-                                 np.int16)
-                for i in range(len(token_seqs)):
-                    w = np.asarray(self._voc_fn(mel[i, : out_lens[i]]))
-                    wav16[i, : w.shape[0]] = pcm16(w, np)
-            if return_truncated:
-                return mel, wav16, out_lens * hop, trunc
-            return mel, wav16, out_lens * hop
-        assert self._voc is not None, "attach_vocoder(_fn) first"
-        mel, wav16, wav_lens, trunc = self.wav_from_token_batch_async(
-            token_seqs, alpha)()
-        if return_truncated:
-            return mel, wav16, wav_lens, trunc
-        return mel, wav16, wav_lens
+        out = self.wav_from_token_batch_async(token_seqs, alpha)()
+        return out if return_truncated else out[:3]
 
     def mel_from_token_batch_async(
         self, token_seqs: Sequence[np.ndarray], alpha: float = 1.0,
