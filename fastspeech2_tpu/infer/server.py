@@ -98,15 +98,15 @@ class Batcher:
         self._stop.set()
         self.q.put(None)  # unblock the dispatch thread
         self.thread.join(timeout=5)
-        if self.thread.is_alive():
-            # dispatch wedged (e.g. a hung device call): don't also hang on
-            # the delivery sentinel it will never send. put_nowait: a FULL
-            # pending queue means delivery is wedged too -- never block
-            # close() on it
-            try:
-                self._pending.put_nowait(None)
-            except queue.Full:
-                pass
+        # always inject a delivery sentinel: the dispatch thread's own
+        # put_nowait sentinel may have been dropped on a full queue, and a
+        # wedged dispatch never sends one. A duplicate None is harmless
+        # (delivery exits on the first); the bounded put never hangs close()
+        # on a wedged delivery thread.
+        try:
+            self._pending.put(None, timeout=5)
+        except queue.Full:
+            pass
         self.delivery_thread.join(timeout=5)
 
     def _take_batch(self) -> List[_Request]:
@@ -154,8 +154,24 @@ class Batcher:
                     r.error = str(e)
                     r.done.set()
                 continue
-            self._pending.put((batch, finish, fused))
-        self._pending.put(None)  # delivery drains, then exits
+            # bounded put that stays responsive to close(): if the server
+            # shuts down while delivery is gone/wedged, fail the batch's
+            # requests instead of orphaning them (their handlers would
+            # otherwise wait out the full SYNTH_TIMEOUT_S)
+            while True:
+                try:
+                    self._pending.put((batch, finish, fused), timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        for r in batch:
+                            r.error = "server shutting down"
+                            r.done.set()
+                        break
+        try:
+            self._pending.put_nowait(None)  # delivery drains, then exits
+        except queue.Full:
+            pass  # close() injects its own sentinel when delivery lags
 
     def _deliver_loop(self):
         """Delivery thread: block on batch k's device->host transfer and

@@ -191,9 +191,10 @@ class Synthesizer:
                     # residual-stack kernel keeps its 2048-sample tiles
                     # (and the kernel-mesh context batch-shards it). int16
                     # PCM on-device halves the device->host bytes and the
-                    # server writes it straight into the RIFF body.
+                    # server writes it straight into the RIFF body. durs ride
+                    # out for the exact saturation check (_frame_demand).
                     wav = gen(voc_params, mel_floor_mask(mel, out_lens))
-                return mel, pcm16(wav), out_lens
+                return mel, pcm16(wav), out_lens, durs
             if self.mesh is not None:
                 from fastspeech2_tpu.parallel.mesh import shard_inference_fn
 
@@ -252,18 +253,33 @@ class Synthesizer:
         """Next frame-buffer bucket after a saturation retrigger."""
         return min(_round_up(l_pad * 2, 256), self.max_frames)
 
-    def _check_saturation(self, out_lens: np.ndarray, l_pad: int,
+    def _frame_demand(self, durs, ilens: np.ndarray, alphas: np.ndarray,
+                      B: int) -> np.ndarray:
+        """Pre-clip frame demand per row from the model's returned (unscaled)
+        durations -- replicates ``expansion_indices``' masking, alpha
+        scaling (f32 round, ops/length_regulator.py:scale_durations), and
+        all-zero fallback, so an EXACT fit is distinguishable from a clipped
+        row (``out_lens`` alone cannot tell: it is min(demand, l_pad))."""
+        d = np.asarray(durs)[:B].astype(np.float32)
+        valid = np.arange(d.shape[1])[None, :] < np.asarray(ilens)[:B, None]
+        scaled = np.round(d * np.asarray(alphas, np.float32)[:B, None])
+        scaled = np.where(valid, scaled, 0.0)
+        total = scaled.sum(axis=1)
+        return np.where(total == 0, valid.sum(axis=1), total).astype(np.int64)
+
+    def _check_saturation(self, demand: np.ndarray, l_pad: int,
                           B: int) -> Tuple[bool, np.ndarray]:
         """(must_grow, truncated_rows) for a batch result.
 
         ``expansion_indices`` CLIPS out_lens to the static buffer
-        (ops/length_regulator.py:45), so a row at out_lens == l_pad may have
-        wanted more frames -- the reference's LengthRegulator never truncates
-        (core/duration_modeling/length_regulator.py:60-95), so silent capping
-        here would be a parity break with no signal. Rows at the cap trigger
-        a re-bucket to a larger buffer while max_frames allows; at the
-        max_frames ceiling they are reported as truncated instead."""
-        sat = np.asarray(out_lens[:B]) >= l_pad
+        (ops/length_regulator.py:45) -- the reference's LengthRegulator never
+        truncates (core/duration_modeling/length_regulator.py:60-95), so
+        silent capping here would be a parity break with no signal. Rows
+        whose pre-clip demand exceeds the buffer trigger a re-bucket while
+        max_frames allows; at the max_frames ceiling they are reported as
+        truncated instead. demand == l_pad is an exact fit: no re-run, no
+        flag."""
+        sat = np.asarray(demand[:B]) > l_pad
         if not sat.any():
             return False, sat
         if l_pad < self.max_frames:
@@ -330,13 +346,21 @@ class Synthesizer:
             self.params, self.state, self._voc_params, xs_d, ilens_d, alphas_d)
 
         def finish_wav(dev=dev, l_pad=l_pad):
+            demand = None
             while True:
-                mel, wav, out_lens = self._host(*dev)
-                grow, trunc = self._check_saturation(out_lens, l_pad, B)
+                mel, wav, out_lens, durs = self._host(*dev)
+                if demand is None:  # durations don't depend on the buffer
+                    demand = self._frame_demand(durs, ilens, alphas, B)
+                grow, trunc = self._check_saturation(demand, l_pad, B)
                 if not grow:
                     break
-                # rare path: re-dispatch synchronously on a larger buffer
+                # rare path: re-dispatch synchronously on a larger buffer.
+                # A never-warmed (t_pad, l_pad) shape jit-compiles here --
+                # inside the serving delivery thread -- so log it: one
+                # multi-second stall per new shape, cached afterwards.
                 l_pad = self._grow_l_pad(l_pad)
+                log.info("frame demand %d > buffer; re-bucketing to l_pad=%d"
+                         " (first time compiles)", int(demand.max()), l_pad)
                 dev = self._wav_fn(t_pad, l_pad)(
                     self.params, self.state, self._voc_params,
                     xs_d, ilens_d, alphas_d)
@@ -382,13 +406,19 @@ class Synthesizer:
                                      alphas_d)
 
         def finish_mel(dev=dev, l_pad=l_pad):
+            demand = None
             while True:
-                mel, out_lens = self._host(dev[0], dev[1])
-                grow, trunc = self._check_saturation(out_lens, l_pad, B)
+                mel, out_lens, durs = self._host(dev[0], dev[1], dev[2])
+                if demand is None:  # durations don't depend on the buffer
+                    demand = self._frame_demand(durs, ilens, alphas, B)
+                grow, trunc = self._check_saturation(demand, l_pad, B)
                 if not grow:
                     break
                 # rare path: re-dispatch synchronously on a larger buffer
+                # (first time per shape jit-compiles; see finish_wav note)
                 l_pad = self._grow_l_pad(l_pad)
+                log.info("frame demand %d > buffer; re-bucketing to l_pad=%d"
+                         " (first time compiles)", int(demand.max()), l_pad)
                 dev = self._fn(t_pad, l_pad)(self.params, self.state, xs_d,
                                              ilens_d, alphas_d)
             return mel[:B], out_lens[:B], trunc

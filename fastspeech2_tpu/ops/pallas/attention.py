@@ -336,9 +336,9 @@ def _attn_kernel_packed_res_ln(len_ref, q_ref, k_ref, v_ref, res_ref, wo_ref,
             else jax.lax.Precision.DEFAULT)
 
     def ln(t):
-        mean = jnp.mean(t, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(t - mean), axis=-1, keepdims=True)
-        return (t - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+        from fastspeech2_tpu.ops.pallas.common import ln_tile
+
+        return ln_tile(t, g_ref, be_ref, eps)
 
     @pl.when(qi * block_q >= length)
     def _dead_block():

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fastspeech2_tpu.ops.pallas.common import pick_block_t
+from fastspeech2_tpu.ops.pallas.common import ln_tile, pick_block_t
 
 Array = jax.Array
 
@@ -189,10 +189,7 @@ def _ffn_block_kernel(len_ref, x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
     def _fill_scratch():
         # LayerNorm (f32, torch biased-variance semantics) -> conv_mask
         # zeroing -> compute-dtype cast, whole sequence once per batch row
-        xx = x_ref[0]
-        mean = jnp.mean(xx, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xx - mean), axis=-1, keepdims=True)
-        y = (xx - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+        y = ln_tile(x_ref[0], g_ref, be_ref, eps)
         row = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
         xpad_ref[pad:pad + T] = jnp.where(row < length, y, 0.0).astype(cd)
         if pad:
@@ -318,9 +315,7 @@ def _ffn_block_post_kernel(len_ref, x_ref, g_ref, be_ref, w1_ref, b1_ref,
         return v.astype(cd).astype(jnp.float32) + bias
 
     def ln(t):
-        mean = jnp.mean(t, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(t - mean), axis=-1, keepdims=True)
-        return (t - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + be_ref[0]
+        return ln_tile(t, g_ref, be_ref, eps)
 
     @pl.when(t0 < length + pad)
     def _live_block():

@@ -1,20 +1,21 @@
 """Measure-and-revert block-shape tunes for the non-FFN serving kernels
-(VERDICT r3 next #5), one tune per kernel on its binding axis.
+(VERDICT r3 next #5), one tuning axis per kernel.
 
-Candidates (from scripts/kernel_rooflines.py):
-- dec attention+res (39.8% MXU): q-block 224 -> {112, 128}. Smaller q-blocks
-  track true lengths tighter (live rows = ceil(len/bq)*bq), cutting the
-  wasted full-T score/context FLOPs of mostly-dead blocks.
-- variance adaptor (36.4% MXU): block_l 128 -> {64, 256}. Per-block VPU
-  segments (LN, bucketize, relu) serialize against the MXU; fewer, larger
-  blocks amortize them -- or smaller blocks track lengths tighter.
-- postnet (61.2% MXU): block_t 128 -> {256}. Same trade.
+Variant set (select by name on the CLI; default runs all):
+- dec attention+res: q-block 224 (baseline) vs {112, 128, 448}. Smaller
+  q-blocks track true lengths tighter but amortize the K/V pipeline worse.
+- variance adaptor: block_l 128 vs {64, 448} -- NOTE the (B, 2, L)
+  raw-output block constrains block_l to multiples of 128 dividing L, so
+  these lower as errors at L=896; kept here to document the constraint.
+- postnet: block_t 224 (adopted r4) vs {64, 128, 448, 896} -- the 10-row
+  halo amortization trade.
 
-Each variant retraces the serving step with the picker monkeypatched and
+Each variant retraces the serving step with the picker monkeypatched
+(jax.clear_caches() per variant -- the pickers resolve at trace time) and
 reports the targeted kernel's device us/call plus the whole-step device
-ms/call from a fresh profiler trace.
+ms/call from a fresh profiler trace. r4 verdicts live in PARITY.md.
 
-    python scripts/measure_block_tunes.py
+    python scripts/measure_block_tunes.py [variant ...]
 """
 
 import glob
@@ -114,11 +115,39 @@ def main():
     orig_ad = adaptor_mod.pick_block_t
     orig_pn = postnet_mod.pick_block_t
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="*",
+                    help="subset of variant names to run (default: all)")
+    cli = ap.parse_args()
+
+    def all_variants():
+        # L=896 = 2^7 x 7: block candidates must divide it (64/112/128/224/
+        # 448); the adaptor additionally needs block_l % 128 == 0 for its
+        # (B, 2, L) raw-output block, leaving 128 the only legal size.
+        # Measured r4 verdicts are in PARITY.md ("Round-4 block-shape
+        # tunes"): postnet 224 KEPT (288.5 us vs 128's 337.9); everything
+        # else rejected or illegal.
+        yield "baseline", {}
+        yield "attn_bq=112", {"attn": lambda T: 112 if T == 896
+                              else orig_attn(T)}
+        yield "attn_bq=128", {"attn": lambda T: 128 if T == 896
+                              else orig_attn(T)}
+        yield "attn_bq=448", {"attn": lambda T: 448 if T == 896
+                              else orig_attn(T)}
+        yield "adaptor_bl=64", {"ad": lambda T, candidates=None: 64}
+        yield "adaptor_bl=448", {"ad": lambda T, candidates=None: 448}
+        yield "postnet_bt=64", {"pn": lambda T, candidates=None: 64}
+        yield "postnet_bt=128", {"pn": lambda T, candidates=None: 128}
+        yield "postnet_bt=224", {"pn": lambda T, candidates=None: 224}
+        yield "postnet_bt=448", {"pn": lambda T, candidates=None: 448}
+        yield "postnet_bt=896", {"pn": lambda T, candidates=None: 896}
+
     def variants():
-        # L=896 = 2^7 x 7: block candidates must divide it (64/112/128/224/448)
-        yield "postnet_bt=224b", {"pn": lambda T: 224}  # repeatability
-        yield "postnet_bt=448", {"pn": lambda T: 448}
-        yield "postnet_bt=896", {"pn": lambda T: 896}
+        for name, patch in all_variants():
+            if not cli.variants or name in cli.variants:
+                yield name, patch
 
     out = {}
     for name, patch in variants():

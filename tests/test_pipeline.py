@@ -496,3 +496,26 @@ def test_saturation_at_max_frames_reports_truncation(small_model):
     # the 2-tuple API is unchanged for existing callers
     mel2, lens2 = synth.mel_from_token_batch([short])
     assert mel2.shape[0] == 1 and lens2.shape == (1,)
+
+
+def test_exact_fit_is_not_saturation(small_model):
+    """demand == l_pad is an exact fit: no re-bucket re-dispatch, no
+    truncation flag (out_lens alone couldn't tell; the demand check uses the
+    model's returned durations, Synthesizer._frame_demand)."""
+    cfg, model, params, state = small_model
+    synth = Synthesizer(model, params, state, max_frames=512)
+    # unit semantics of the check itself
+    grow, trunc = synth._check_saturation(np.asarray([256, 100]), 256, 2)
+    assert not grow and not trunc.any()
+    grow, trunc = synth._check_saturation(np.asarray([257, 100]), 256, 2)
+    assert grow and trunc[0] and not trunc[1]
+    # at the cap, only demand > cap is truncated
+    synth2 = Synthesizer(model, params, state, max_frames=256)
+    grow, trunc = synth2._check_saturation(np.asarray([256]), 256, 1)
+    assert not grow and not trunc[0]
+
+    # demand replication: masked, alpha-scaled, zero-fallback
+    durs = np.asarray([[3, 4, 9, 9], [0, 0, 5, 5]])  # row 1: junk past ilen=2
+    demand = synth._frame_demand(durs, np.asarray([4, 2]),
+                                 np.asarray([1.0, 2.0]), 2)
+    np.testing.assert_array_equal(demand, [25, 2])  # row 1: all-zero -> ilen
