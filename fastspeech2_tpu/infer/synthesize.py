@@ -348,9 +348,17 @@ class Synthesizer:
         def finish_wav(dev=dev, l_pad=l_pad):
             demand = None
             while True:
-                mel, wav, out_lens, durs = self._host(*dev)
-                if demand is None:  # durations don't depend on the buffer
-                    demand = self._frame_demand(durs, ilens, alphas, B)
+                mel, wav, out_lens = self._host(dev[0], dev[1], dev[2])
+                if demand is None:
+                    # durations don't depend on the buffer -- and they only
+                    # need the extra device->host pull when a row actually
+                    # hit the buffer edge (out_lens == min(demand, l_pad),
+                    # so out_lens < l_pad everywhere ==> demand == out_lens)
+                    if np.any(np.asarray(out_lens[:B]) >= l_pad):
+                        (durs,) = self._host(dev[3])
+                        demand = self._frame_demand(durs, ilens, alphas, B)
+                    else:
+                        demand = np.asarray(out_lens[:B])
                 grow, trunc = self._check_saturation(demand, l_pad, B)
                 if not grow:
                     break
@@ -408,9 +416,16 @@ class Synthesizer:
         def finish_mel(dev=dev, l_pad=l_pad):
             demand = None
             while True:
-                mel, out_lens, durs = self._host(dev[0], dev[1], dev[2])
-                if demand is None:  # durations don't depend on the buffer
-                    demand = self._frame_demand(durs, ilens, alphas, B)
+                mel, out_lens = self._host(dev[0], dev[1])
+                if demand is None:
+                    # see finish_wav: the durations pull (one extra
+                    # device->host round-trip) only happens when a row
+                    # actually hit the buffer edge
+                    if np.any(np.asarray(out_lens[:B]) >= l_pad):
+                        (durs,) = self._host(dev[2])
+                        demand = self._frame_demand(durs, ilens, alphas, B)
+                    else:
+                        demand = np.asarray(out_lens[:B])
                 grow, trunc = self._check_saturation(demand, l_pad, B)
                 if not grow:
                     break
