@@ -44,7 +44,11 @@ def cmd_preprocess(args):
     out_root = args.out or cfg.data.data_dir
     for sub in ("mels", "energy", "pitch"):
         os.makedirs(os.path.join(out_root, sub), exist_ok=True)
-    wavs = sorted(glob.glob(os.path.join(args.data_path, "**", "*.wav"),
+    # -d overrides; otherwise data.wav_dir from the config (the reference
+    # carries wav_dir in default.yaml:3 but never reads it -- here it is the
+    # documented fallback so the knob is live, not decorative).
+    wav_root = args.data_path or cfg.data.wav_dir
+    wavs = sorted(glob.glob(os.path.join(wav_root, "**", "*.wav"),
                             recursive=True))
     logging.info("preprocessing %d wavs -> %s", len(wavs), out_root)
     # chunked + length-bucketed: mel/energy run as batched device calls with
@@ -453,7 +457,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("preprocess")
-    sp.add_argument("-d", "--data_path", required=True)
+    sp.add_argument("-d", "--data_path", default=None,
+                    help="wav root; defaults to data.wav_dir from the config")
     sp.add_argument("-c", "--config", default=None)
     sp.add_argument("-o", "--out", default=None)
     sp.set_defaults(fn=cmd_preprocess)

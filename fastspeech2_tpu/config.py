@@ -22,7 +22,11 @@ import yaml
 
 @dataclass(frozen=True)
 class DataConfig:
-    """Dataset paths and pitch/energy statistics (reference default.yaml:1-16)."""
+    """Dataset paths and pitch/energy statistics (reference default.yaml:1-16).
+
+    ``wav_dir`` is the preprocess CLI's wav root when ``-d`` is not given
+    (the reference carries it in default.yaml:3 but never reads it).
+    """
 
     data_dir: str = "./data/"
     wav_dir: str = "./wavs/"

@@ -215,6 +215,16 @@ def test_cli_preprocess_stats(tmp_path):
     assert len(voiced) and abs(np.median(voiced) - 220) < 25
     cli_main(["stats", "-d", out_dir])
 
+    # without -d the CLI must fall back to data.wav_dir from the config
+    # (closing the knob the reference leaves decorative, default.yaml:3)
+    cfg_path = tmp_path / "wavdir.yaml"
+    out_dir2 = str(tmp_path / "features2")
+    cfg_path.write_text(
+        "data:\n  wav_dir: %r\n  data_dir: %r\n" % (str(wav_dir), out_dir2))
+    cli_main(["preprocess", "-c", str(cfg_path)])
+    assert sorted(os.listdir(os.path.join(out_dir2, "mels"))) == [
+        "UT-0.npy", "UT-1.npy"]
+
 
 def test_cli_evaluate_without_config(small_model, tmp_path, capsys):
     """evaluate -p <ckpt> with no -c must rebuild the config from the
