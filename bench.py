@@ -50,10 +50,13 @@ def _device_region_ms(trace_dir: str, expect_calls: int = 0):
 
     Sums ALL jit_* device groups (ADVICE r3 #2): a step that lowers to more
     than one executable (e.g. a donation split) contributes every piece, so
-    the device time cannot silently undercount. The call count is the max
-    per-group count (each executable of a multi-part step runs once per
-    step). When ``expect_calls`` is given and the count disagrees, the
-    window is reported unusable (None) rather than returning a number whose
+    the device time cannot silently undercount. When ``expect_calls`` is
+    given, only groups whose call count equals it are summed -- each
+    executable of a multi-part step runs once per step, while a stray
+    one-off jit (a re-traced executable, a helper run once inside the
+    window) has a different count and would otherwise inflate the sum;
+    excluded groups are reported, and a window with no matching group is
+    reported unusable (None) rather than returning a number whose
     denominator is wrong. Returns (total_ms, n_calls) or (None, 0) when no
     device track exists (CPU)."""
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
@@ -79,12 +82,22 @@ def _device_region_ms(trace_dir: str, expect_calls: int = 0):
         groups[name][1] += 1
     if not groups:
         return None, 0
+    if expect_calls:
+        stray = {k: v for k, v in groups.items() if v[1] != expect_calls}
+        groups = {k: v for k, v in groups.items() if v[1] == expect_calls}
+        if stray:
+            print("bench: excluding stray device groups "
+                  + ", ".join(f"{k} (n={v[1]}, {v[0]/1e3:.2f} ms)"
+                              for k, v in stray.items())
+                  + f" from the {expect_calls}-call window in {trace_dir}",
+                  file=sys.stderr)
+        if not groups:
+            print(f"bench: trace in {trace_dir} has no jit_* group with "
+                  f"{expect_calls} device calls; window dropped",
+                  file=sys.stderr)
+            return None, 0
     total_us = sum(v[0] for v in groups.values())
     n = max(v[1] for v in groups.values())
-    if expect_calls and n != expect_calls:
-        print(f"bench: trace in {trace_dir} saw {n} device calls, expected "
-              f"{expect_calls}; window dropped", file=sys.stderr)
-        return None, 0
     return total_us / 1000.0, n
 
 

@@ -50,6 +50,12 @@ def cmd_preprocess(args):
     wav_root = args.data_path or cfg.data.wav_dir
     wavs = sorted(glob.glob(os.path.join(wav_root, "**", "*.wav"),
                             recursive=True))
+    if not wavs:
+        # exiting 0 with empty mels/energy/pitch dirs would surface much
+        # later as an inexplicably empty feature store at train time
+        raise SystemExit(
+            f"preprocess: no .wav files under {wav_root!r} "
+            "(pass -d or set data.wav_dir in the config)")
     logging.info("preprocessing %d wavs -> %s", len(wavs), out_root)
     # chunked + length-bucketed: mel/energy run as batched device calls with
     # a handful of static shapes (one jit compile per bucket, not per unique

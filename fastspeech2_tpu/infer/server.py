@@ -69,9 +69,13 @@ class Batcher:
     Synthesizer.*_async) while the delivery thread blocks on batch k's
     device->host transfer and hands results to the waiting handlers. A
     synchronous loop would leave the chip idle for one full transfer (plus,
-    on tunneled backends, the round-trip) between batches. ``_pending``'s
-    maxsize=1 bounds in-flight device work to one executing + one
-    delivering batch.
+    on tunneled backends, the round-trip) between batches. ``_slots``
+    bounds dispatched-but-undelivered batches to TWO (one executing + one
+    delivering): the dispatch thread takes a slot BEFORE issuing the device
+    call and the delivery thread returns it after the transfer, so device
+    memory holds at most two micro-batches of output buffers -- a third
+    would add memory without throughput (if delivery is slower than
+    compute, the pipeline is delivery-bound either way).
     """
 
     def __init__(self, synthesizer, max_batch: int = 16,
@@ -81,6 +85,7 @@ class Batcher:
         self.max_wait_ms = max_wait_ms
         self.q: "queue.Queue[_Request]" = queue.Queue()
         self._pending: "queue.Queue" = queue.Queue(maxsize=1)
+        self._slots = threading.Semaphore(2)
         self.stats = {"requests": 0, "batches": 0, "frames": 0, "truncated": 0}
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -135,6 +140,18 @@ class Batcher:
             batch = self._take_batch()
             if not batch:
                 continue
+            # take a dispatch slot BEFORE the device call so at most two
+            # batches are dispatched-but-undelivered (see class docstring);
+            # stay responsive to close() while waiting
+            while not self._slots.acquire(timeout=0.5):
+                if self._stop.is_set():
+                    for r in batch:
+                        r.error = "server shutting down"
+                        r.done.set()
+                    batch = None
+                    break
+            if batch is None:
+                continue
             fused = bool(getattr(self.synth, "has_vocoder", False))
             try:
                 # Fused tts when the synthesizer has a vocoder attached: one
@@ -150,6 +167,7 @@ class Batcher:
                         alpha=[r.alpha for r in batch])
             except Exception as e:  # dispatch-time failure (e.g. bad alpha)
                 log.exception("batch dispatch failed")
+                self._slots.release()
                 for r in batch:
                     r.error = str(e)
                     r.done.set()
@@ -164,6 +182,7 @@ class Batcher:
                     break
                 except queue.Full:
                     if self._stop.is_set():
+                        self._slots.release()
                         for r in batch:
                             r.error = "server shutting down"
                             r.done.set()
@@ -182,30 +201,38 @@ class Batcher:
                 return
             batch, finish, fused = item
             try:
-                if fused:
-                    mels, wavs, wav_lens, trunc = finish()
-                    hop = self.synth.hop_length
-                    out_lens = wav_lens // hop
-                    for r, mel, wav, wn, tr in zip(batch, mels, wavs,
-                                                   wav_lens, trunc):
-                        r.mel = mel[: int(wn) // hop]
-                        r.wav = wav[: int(wn)]
-                        r.truncated = bool(tr)
-                else:
-                    mels, out_lens, trunc = finish()
-                    for r, mel, n, tr in zip(batch, mels, out_lens, trunc):
-                        r.mel = mel[: int(n)]
-                        r.truncated = bool(tr)
-                self.stats["truncated"] += int(np.sum(trunc))
-                self.stats["requests"] += len(batch)
-                self.stats["batches"] += 1
-                self.stats["frames"] += int(np.sum(out_lens))
-            except Exception as e:  # surface per-request, keep serving
-                log.exception("batch failed")
-                for r in batch:
-                    r.error = str(e)
+                self._deliver_one(batch, finish, fused)
+            finally:
+                self._slots.release()  # batch's device buffers are done
+
+    def _deliver_one(self, batch, finish, fused):
+        """Finish one batch's device->host transfer and complete its
+        requests; exceptions surface per-request (serving continues)."""
+        try:
+            if fused:
+                mels, wavs, wav_lens, trunc = finish()
+                hop = self.synth.hop_length
+                out_lens = wav_lens // hop
+                for r, mel, wav, wn, tr in zip(batch, mels, wavs,
+                                               wav_lens, trunc):
+                    r.mel = mel[: int(wn) // hop]
+                    r.wav = wav[: int(wn)]
+                    r.truncated = bool(tr)
+            else:
+                mels, out_lens, trunc = finish()
+                for r, mel, n, tr in zip(batch, mels, out_lens, trunc):
+                    r.mel = mel[: int(n)]
+                    r.truncated = bool(tr)
+            self.stats["truncated"] += int(np.sum(trunc))
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["frames"] += int(np.sum(out_lens))
+        except Exception as e:  # surface per-request, keep serving
+            log.exception("batch failed")
             for r in batch:
-                r.done.set()
+                r.error = str(e)
+        for r in batch:
+            r.done.set()
 
 
 def make_handler(batcher: Batcher, cfg, vocoder=None):

@@ -126,9 +126,22 @@ class Synthesizer:
             dt, _prec, _kmesh = self._compute_ctx()
 
             def infer(params, state, xs, ilens, alphas):
+                from fastspeech2_tpu.ops import make_non_pad_mask
+                from fastspeech2_tpu.ops.length_regulator import (
+                    frame_demand, scale_durations)
+
                 with compute_dtype(dt), _prec(), _kmesh():
-                    return self.model.inference(params, state, xs, ilens,
-                                                out_maxlen=l_pad, alpha=alphas)
+                    mel, out_lens, d_outs = self.model.inference(
+                        params, state, xs, ilens, out_maxlen=l_pad,
+                        alpha=alphas)
+                    # exact pre-clip frame demand, computed device-side by
+                    # the SAME scale/mask/fallback functions the expansion
+                    # uses -- the saturation check (finish_mel) can never
+                    # drift from what the length regulator actually did
+                    demand = frame_demand(
+                        scale_durations(d_outs, alphas),
+                        make_non_pad_mask(ilens, xs.shape[1]))
+                return mel, out_lens, demand
             if self.mesh is not None:
                 from fastspeech2_tpu.parallel.mesh import shard_inference_fn
 
@@ -181,8 +194,12 @@ class Synthesizer:
             gen = self._voc
 
             def infer_wav(params, state, voc_params, xs, ilens, alphas):
+                from fastspeech2_tpu.ops import make_non_pad_mask
+                from fastspeech2_tpu.ops.length_regulator import (
+                    frame_demand, scale_durations)
+
                 with compute_dtype(dt), _prec(), _kmesh():
-                    mel, out_lens, durs = self.model.inference(
+                    mel, out_lens, d_outs = self.model.inference(
                         params, state, xs, ilens, out_maxlen=l_pad,
                         alpha=alphas)
                     # Floor-masked frames double as the tail-flush frames the
@@ -191,10 +208,13 @@ class Synthesizer:
                     # residual-stack kernel keeps its 2048-sample tiles
                     # (and the kernel-mesh context batch-shards it). int16
                     # PCM on-device halves the device->host bytes and the
-                    # server writes it straight into the RIFF body. durs ride
-                    # out for the exact saturation check (_frame_demand).
+                    # server writes it straight into the RIFF body. demand
+                    # rides out for the exact saturation check (see _fn).
+                    demand = frame_demand(
+                        scale_durations(d_outs, alphas),
+                        make_non_pad_mask(ilens, xs.shape[1]))
                     wav = gen(voc_params, mel_floor_mask(mel, out_lens))
-                return mel, pcm16(wav), out_lens, durs
+                return mel, pcm16(wav), out_lens, demand
             if self.mesh is not None:
                 from fastspeech2_tpu.parallel.mesh import shard_inference_fn
 
@@ -249,23 +269,18 @@ class Synthesizer:
         base = t_pad * self.frames_per_token * max(alpha_max, 1.0)
         return min(_round_up(int(np.ceil(base)), 256), self.max_frames)
 
-    def _grow_l_pad(self, l_pad: int) -> int:
-        """Next frame-buffer bucket after a saturation retrigger."""
-        return min(_round_up(l_pad * 2, 256), self.max_frames)
-
-    def _frame_demand(self, durs, ilens: np.ndarray, alphas: np.ndarray,
-                      B: int) -> np.ndarray:
-        """Pre-clip frame demand per row from the model's returned (unscaled)
-        durations -- replicates ``expansion_indices``' masking, alpha
-        scaling (f32 round, ops/length_regulator.py:scale_durations), and
-        all-zero fallback, so an EXACT fit is distinguishable from a clipped
-        row (``out_lens`` alone cannot tell: it is min(demand, l_pad))."""
-        d = np.asarray(durs)[:B].astype(np.float32)
-        valid = np.arange(d.shape[1])[None, :] < np.asarray(ilens)[:B, None]
-        scaled = np.round(d * np.asarray(alphas, np.float32)[:B, None])
-        scaled = np.where(valid, scaled, 0.0)
-        total = scaled.sum(axis=1)
-        return np.where(total == 0, valid.sum(axis=1), total).astype(np.int64)
+    def _grow_l_pad(self, l_pad: int, demand: Optional[int] = None) -> int:
+        """Next frame-buffer bucket after a saturation retrigger: the
+        doubling ladder keeps the set of compiled shapes logarithmic, and
+        the jump goes straight to the first rung >= the (exact, device-
+        computed) demand -- each skipped intermediate rung would have cost a
+        full re-dispatch plus a cold jit compile in the serving delivery
+        thread."""
+        new = l_pad * 2
+        if demand is not None:
+            while new < demand and new < self.max_frames:
+                new *= 2
+        return min(_round_up(new, 256), self.max_frames)
 
     def _check_saturation(self, demand: np.ndarray, l_pad: int,
                           B: int) -> Tuple[bool, np.ndarray]:
@@ -350,23 +365,25 @@ class Synthesizer:
             while True:
                 mel, wav, out_lens = self._host(dev[0], dev[1], dev[2])
                 if demand is None:
-                    # durations don't depend on the buffer -- and they only
-                    # need the extra device->host pull when a row actually
-                    # hit the buffer edge (out_lens == min(demand, l_pad),
-                    # so out_lens < l_pad everywhere ==> demand == out_lens)
+                    # demand doesn't depend on the buffer -- and its pull is
+                    # an extra device->host round-trip, so it only happens
+                    # when a row actually hit the buffer edge (out_lens ==
+                    # min(demand, l_pad), so out_lens < l_pad everywhere
+                    # ==> demand == out_lens)
                     if np.any(np.asarray(out_lens[:B]) >= l_pad):
-                        (durs,) = self._host(dev[3])
-                        demand = self._frame_demand(durs, ilens, alphas, B)
+                        (dem,) = self._host(dev[3])
+                        demand = np.asarray(dem)[:B]
                     else:
                         demand = np.asarray(out_lens[:B])
                 grow, trunc = self._check_saturation(demand, l_pad, B)
                 if not grow:
                     break
-                # rare path: re-dispatch synchronously on a larger buffer.
-                # A never-warmed (t_pad, l_pad) shape jit-compiles here --
+                # rare path: re-dispatch synchronously on a buffer sized for
+                # the known demand (one jump, no intermediate rungs). A
+                # never-warmed (t_pad, l_pad) shape jit-compiles here --
                 # inside the serving delivery thread -- so log it: one
                 # multi-second stall per new shape, cached afterwards.
-                l_pad = self._grow_l_pad(l_pad)
+                l_pad = self._grow_l_pad(l_pad, int(demand.max()))
                 log.info("frame demand %d > buffer; re-bucketing to l_pad=%d"
                          " (first time compiles)", int(demand.max()), l_pad)
                 dev = self._wav_fn(t_pad, l_pad)(
@@ -418,20 +435,20 @@ class Synthesizer:
             while True:
                 mel, out_lens = self._host(dev[0], dev[1])
                 if demand is None:
-                    # see finish_wav: the durations pull (one extra
+                    # see finish_wav: the demand pull (one extra
                     # device->host round-trip) only happens when a row
                     # actually hit the buffer edge
                     if np.any(np.asarray(out_lens[:B]) >= l_pad):
-                        (durs,) = self._host(dev[2])
-                        demand = self._frame_demand(durs, ilens, alphas, B)
+                        (dem,) = self._host(dev[2])
+                        demand = np.asarray(dem)[:B]
                     else:
                         demand = np.asarray(out_lens[:B])
                 grow, trunc = self._check_saturation(demand, l_pad, B)
                 if not grow:
                     break
-                # rare path: re-dispatch synchronously on a larger buffer
-                # (first time per shape jit-compiles; see finish_wav note)
-                l_pad = self._grow_l_pad(l_pad)
+                # rare path: one re-dispatch on a buffer sized for the known
+                # demand (first time per shape jit-compiles; finish_wav note)
+                l_pad = self._grow_l_pad(l_pad, int(demand.max()))
                 log.info("frame demand %d > buffer; re-bucketing to l_pad=%d"
                          " (first time compiles)", int(demand.max()), l_pad)
                 dev = self._fn(t_pad, l_pad)(self.params, self.state, xs_d,

@@ -24,6 +24,26 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def effective_durations(ds: Array, tok_mask: Array) -> Array:
+    """Masking + all-zero fallback shared by the expansion and the demand
+    check: durations are zeroed at padded positions, and a sequence whose
+    durations sum to 0 falls back to 1 frame per valid token (reference
+    length_regulator.py:86-88). Single source of truth -- the serving
+    saturation check (infer/synthesize.py) computes its pre-clip frame
+    demand through THIS function inside the same jit, so it can never drift
+    from what ``expansion_indices`` actually expands."""
+    ds = jnp.where(tok_mask, ds, 0).astype(jnp.int32)
+    total = jnp.sum(ds, axis=-1, keepdims=True)
+    return jnp.where(total == 0, tok_mask.astype(jnp.int32), ds)
+
+
+def frame_demand(ds: Array, tok_mask: Array) -> Array:
+    """Exact pre-clip frame demand per row: sum of the effective durations.
+    ``out_lens`` alone cannot distinguish an exact fit from a clipped row
+    (it is min(demand, out_maxlen), expansion_indices:45)."""
+    return jnp.sum(effective_durations(ds, tok_mask), axis=-1)
+
+
 def expansion_indices(
     ds: Array, tok_mask: Array, out_maxlen: int, num_tokens: int,
 ) -> Tuple[Array, Array, Array]:
@@ -33,10 +53,7 @@ def expansion_indices(
     bool, out_lens (B,) int32). Exposed separately so fused kernels
     (ops/pallas/adaptor.py) can do the expansion in VMEM.
     """
-    ds = jnp.where(tok_mask, ds, 0).astype(jnp.int32)
-    total = jnp.sum(ds, axis=-1, keepdims=True)
-    # all-zero-durations fallback: one frame per valid token (reference :86-88)
-    ds = jnp.where(total == 0, tok_mask.astype(jnp.int32), ds)
+    ds = effective_durations(ds, tok_mask)
 
     cum = jnp.cumsum(ds, axis=-1)  # (B, T)
     # clip to the static buffer: frames past out_maxlen don't exist, and

@@ -468,8 +468,6 @@ def test_saturation_rebuckets_to_larger_frame_buffer(small_model):
     a larger buffer automatically (VERDICT r3 weak #5): no silent truncation
     under max_frames. The reference's LengthRegulator never truncates
     (core/duration_modeling/length_regulator.py:60-95)."""
-    import dataclasses
-
     cfg, model, params, state = small_model
     # big constant durations: round(exp(2.5)-1) = 11 frames/token
     p2 = jax.tree.map(np.asarray, params)
@@ -510,8 +508,13 @@ def test_saturation_at_max_frames_reports_truncation(small_model):
 
 def test_exact_fit_is_not_saturation(small_model):
     """demand == l_pad is an exact fit: no re-bucket re-dispatch, no
-    truncation flag (out_lens alone couldn't tell; the demand check uses the
-    model's returned durations, Synthesizer._frame_demand)."""
+    truncation flag (out_lens alone couldn't tell; the demand rides out of
+    the serving jit, computed by ops.length_regulator.frame_demand on the
+    SAME scale/mask/fallback functions the expansion uses)."""
+    from fastspeech2_tpu.ops import make_non_pad_mask
+    from fastspeech2_tpu.ops.length_regulator import (frame_demand,
+                                                      scale_durations)
+
     cfg, model, params, state = small_model
     synth = Synthesizer(model, params, state, max_frames=512)
     # unit semantics of the check itself
@@ -524,8 +527,18 @@ def test_exact_fit_is_not_saturation(small_model):
     grow, trunc = synth2._check_saturation(np.asarray([256]), 256, 1)
     assert not grow and not trunc[0]
 
-    # demand replication: masked, alpha-scaled, zero-fallback
+    # demand semantics: masked, alpha-scaled, zero-fallback
     durs = np.asarray([[3, 4, 9, 9], [0, 0, 5, 5]])  # row 1: junk past ilen=2
-    demand = synth._frame_demand(durs, np.asarray([4, 2]),
-                                 np.asarray([1.0, 2.0]), 2)
-    np.testing.assert_array_equal(demand, [25, 2])  # row 1: all-zero -> ilen
+    mask = make_non_pad_mask(np.asarray([4, 2]), 4)
+    demand = frame_demand(
+        scale_durations(durs, np.asarray([1.0, 2.0], np.float32)), mask)
+    np.testing.assert_array_equal(np.asarray(demand), [25, 2])
+
+    # re-bucket jump: straight to the first doubling rung >= demand, never
+    # one rung at a time (each wasted rung = a re-dispatch + cold compile)
+    assert synth._grow_l_pad(256) == 512
+    assert synth._grow_l_pad(256, demand=2000) == 512  # capped at max_frames
+    synth3 = Synthesizer(model, params, state, max_frames=4096)
+    assert synth3._grow_l_pad(256, demand=2000) == 2048
+    assert synth3._grow_l_pad(256, demand=500) == 512
+    assert synth3._grow_l_pad(256, demand=999999) == 4096
