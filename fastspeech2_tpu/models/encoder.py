@@ -265,6 +265,16 @@ def encoder_apply(
 
                 x = mha_fused_res_apply(layer["attn"], y, residual, lengths,
                                         cfg.attention_heads)
+            elif flags.FUSED_ATT_QKV:
+                # post-LN: attention input == residual (y is x), so the QKV
+                # projections fold into the kernel too -- the whole block
+                # half reads x once (q/k/v never exist in HBM)
+                from fastspeech2_tpu.ops.pallas.attention import (
+                    mha_fused_block_ln_apply)
+
+                x = mha_fused_block_ln_apply(layer["attn"], layer["norm1"],
+                                             residual, lengths,
+                                             cfg.attention_heads)
             else:
                 from fastspeech2_tpu.ops.pallas.attention import (
                     mha_fused_res_ln_apply)

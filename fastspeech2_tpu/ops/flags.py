@@ -21,3 +21,10 @@ FUSED_ADAPTOR: bool = os.environ.get("FS2_FUSED_ADAPTOR", "on") != "off"
 #: engage the fused [attention -> out-proj -> +residual] serving kernel
 #: (ops/pallas/attention.py). FS2_FUSED_ATT_RES=off disables.
 FUSED_ATT_RES: bool = os.environ.get("FS2_FUSED_ATT_RES", "on") != "off"
+
+#: fold the QKV projections into the post-LN fused attention kernel
+#: (ops/pallas/attention.py:fused_attention_packed_qkv_res_ln) so the
+#: q/k/v streams never round-trip HBM. Measured on a v5e at the bench
+#: workload: serving step 7.234 -> 6.559 ms/call (-9.3%), KEPT (PARITY.md,
+#: "Round-4 QKV fold"). FS2_FUSED_ATT_QKV=off disables.
+FUSED_ATT_QKV: bool = os.environ.get("FS2_FUSED_ATT_QKV", "on") != "off"

@@ -525,6 +525,154 @@ def mha_fused_res_ln_apply(params, p_ln, x: Array, residual: Array,
     return call(q, k, v, residual, lengths, wo, bo, p_ln["g"], p_ln["b"])
 
 
+def _attn_kernel_packed_qkv_res_ln(len_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref,
+                                   bo_ref, g_ref, be_ref, o_ref, k_s, v_s,
+                                   o_scr, *, scale: float, block_q: int,
+                                   n_heads: int, eps: float):
+    """:func:`_attn_kernel_packed_res_ln` with the QKV projections folded in.
+
+    Valid for post-LN blocks only, where the attention input and the
+    residual stream are the SAME tensor x (models/encoder.py fft_block,
+    normalize_before=False -- the default config): the kernel reads x once
+    per batch row and produces ``LN(x + out_proj(attention(xWq, xWk, xWv)))``
+    -- the complete attention half of the block. K/V are projected into VMEM
+    scratch at the first query block of each batch row and stay resident for
+    the row's remaining blocks (the TPU grid is sequential, so scratch
+    persists across grid steps); the q/k/v streams never exist in HBM at
+    all. Projection numerics replicate ops/nn.py:linear under a compute
+    dtype: MXU f32 accumulation rounded to the compute dtype, widened to f32
+    for the bias add, rounded back."""
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    length = len_ref[b]
+    cd = wo_ref.dtype
+    prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def proj(xc, w, bias):
+        y = jax.lax.dot_general(
+            xc, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(cd)
+        return (y.astype(jnp.float32) + bias).astype(cd)
+
+    @pl.when(qi == 0)
+    def _project_kv():
+        xc = x_ref[0].astype(cd)  # (T, D)
+        k_s[:] = proj(xc, wqkv_ref[1], bqkv_ref[1:2])
+        v_s[:] = proj(xc, wqkv_ref[2], bqkv_ref[2:3])
+
+    def ln(t):
+        from fastspeech2_tpu.ops.pallas.common import ln_tile
+
+        return ln_tile(t, g_ref, be_ref, eps)
+
+    res = x_ref[0, pl.ds(qi * block_q, block_q)]  # (block_q, D) f32
+
+    @pl.when(qi * block_q >= length)
+    def _dead_block():
+        o_ref[0] = ln(res.astype(jnp.float32) + bo_ref[0]).astype(o_ref.dtype)
+
+    @pl.when(qi * block_q < length)
+    def _live_block():
+        q = proj(res.astype(cd), wqkv_ref[0], bqkv_ref[0:1])
+        out = _attn_res_tile(q, k_s[:], v_s[:], res, wo_ref, bo_ref, o_scr,
+                             length, qi, scale=scale, block_q=block_q,
+                             n_heads=n_heads, prec=prec, cd=cd)
+        o_ref[0] = ln(out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "eps", "interpret", "block_q"))
+def fused_attention_packed_qkv_res_ln(x: Array, wqkv: Array, bqkv: Array,
+                                      wo: Array, bo: Array, g: Array,
+                                      be: Array, lengths: Array, n_heads: int,
+                                      *, eps: float = 1e-5,
+                                      interpret: bool = False,
+                                      block_q: int | None = None) -> Array:
+    """Post-LN FFT-block attention half with in-kernel QKV projections:
+    ``LN(x + out_proj(attention(xWq, xWk, xWv)))`` in ONE kernel.
+
+    Args:
+        x: (B, T, D) f32 block input == residual stream (post-LN only).
+        wqkv: (3, D, D) stacked Q/K/V projection weights, compute dtype.
+        bqkv: (3, D) f32 stacked projection biases.
+        wo/bo/g/be: out projection + LayerNorm params as in
+            :func:`fused_attention_packed_res_ln`.
+    """
+    B, T, D = x.shape
+    assert D % n_heads == 0, (D, n_heads)
+    dk = D // n_heads
+    scale = 1.0 / float(np.sqrt(dk))
+    bq = block_q if block_q is not None else _pick_block_q_adaptive(T)
+    assert T % bq == 0, (T, bq)
+    cd = wo.dtype
+    xspec = pl.BlockSpec((1, T, D), lambda b, i, lens: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, bq, D), lambda b, i, lens: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    wqkvspec = pl.BlockSpec((3, D, D), lambda b, i, lens: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bqkvspec = pl.BlockSpec((3, D), lambda b, i, lens: (0, 0),
+                            memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((D, D), lambda b, i, lens: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, D), lambda b, i, lens: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // bq),
+        in_specs=[xspec, wqkvspec, bqkvspec, wspec, bspec, bspec, bspec],
+        out_specs=ospec,
+        scratch_shapes=[pltpu.VMEM((T, D), cd), pltpu.VMEM((T, D), cd),
+                        pltpu.VMEM((bq, D), cd)],
+    )
+    kernel = functools.partial(_attn_kernel_packed_qkv_res_ln, scale=scale,
+                               block_q=bq, n_heads=n_heads, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (n_heads * T * T * dk * 2 + 4 * T * D * D),
+            bytes_accessed=2 * B * T * D * 4 + 4 * D * D * 2,
+            transcendentals=B * n_heads * T * T,
+        ),
+    )(lengths.astype(jnp.int32), x.astype(jnp.float32), wqkv,
+      bqkv.astype(jnp.float32), wo, bo.astype(jnp.float32),
+      g.reshape(1, D).astype(jnp.float32),
+      be.reshape(1, D).astype(jnp.float32))
+
+
+def mha_fused_block_ln_apply(params, p_ln, x: Array, lengths: Array,
+                             n_heads: int, *, interpret: bool = False) -> Array:
+    """Post-LN FFT-block attention half with EVERYTHING in one kernel:
+    QKV projections + attention + out projection + residual + LayerNorm,
+    reading the block input x exactly once (drop-in for
+    mha_fused_res_ln_apply on post-LN blocks; tp=1 only -- the projections
+    are Megatron-sharded under TP)."""
+    from fastspeech2_tpu.ops.precision import current_compute_dtype
+    from fastspeech2_tpu.parallel.sharding import (current_tp_mesh,
+                                                   data_shard_map)
+
+    dt = current_compute_dtype() or x.dtype
+    wqkv = jnp.stack([params["q"]["w"], params["k"]["w"],
+                      params["v"]["w"]]).astype(dt)
+    bqkv = jnp.stack([params["q"]["b"], params["k"]["b"], params["v"]["b"]])
+    wo = params["out"]["w"].astype(dt)
+    bo = params["out"]["b"].reshape(1, -1)
+
+    def call(x, lens, wqkv, bqkv, wo, bo, g, be):
+        return fused_attention_packed_qkv_res_ln(
+            x, wqkv, bqkv, wo, bo, g, be, lens, n_heads, interpret=interpret)
+
+    mesh = current_tp_mesh()
+    if mesh is not None:
+        call = data_shard_map(call, mesh, batched=(0, 1))
+    return call(x, lengths, wqkv, bqkv, wo, bo, p_ln["g"], p_ln["b"])
+
+
 def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,
                               n_heads: int, mesh, *,
                               interpret: bool = False,

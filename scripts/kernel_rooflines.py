@@ -135,12 +135,21 @@ def main():
         rows.append((name, us, tf, 100 * tf / (PEAK_TF / 1e12), gb,
                      100 * gb / (PEAK_GB / 1e9), bind, note))
 
-    def attn_model(lens, Tpad, D, bq):
+    def attn_model(lens, Tpad, D, bq, qkv=True):
         live_rows = (ceil_blocks(lens, bq) * bq)
         # scores + context span full padded T per live q-row; out-proj D x D
         flops = float(np.sum(live_rows) * (4 * Tpad * D + 2 * D * D))
-        # q/res/out copy for all blocks; K/V once per row (index_map on b)
-        gbytes = (3 * B * Tpad * D + 2 * B * Tpad * D) * 2.0
+        if qkv:
+            # QKV folded in-kernel (r4, fused_attention_packed_qkv_res_ln):
+            # q proj per live row; K/V proj whole-T per batch row (scratch)
+            flops += float(np.sum(live_rows)) * 2 * D * D
+            flops += B * Tpad * 2 * 2 * D * D
+            # x rides in once per row (f32) and the LN'd output writes f32;
+            # q/k/v never touch HBM
+            gbytes = 2.0 * B * Tpad * D * 4.0
+        else:
+            # split path: q/res/out copy for all blocks; K/V once per row
+            gbytes = (3 * B * Tpad * D + 2 * B * Tpad * D) * 2.0
         return flops, gbytes
 
     def convstack_flops_per_frame():
@@ -164,7 +173,7 @@ def main():
     # encoder kernels (token axis: lens = ilens, pad T=128)
     bq_e = _pick_block_q_adaptive(T)
     f, by = attn_model(ilens, T, m.adim, bq_e)
-    add("enc attention+res (x4)",
+    add("enc attention+qkv+res+LN (x4)",
         sum(v for k_, v in times.items()
             if k_.startswith("fused_attention") and v < 100) / 4,
         f, by, f"bq={bq_e}")
@@ -183,7 +192,7 @@ def main():
     # decoder kernels (frame axis: lens = out_lens, pad L=896)
     bq_d = _pick_block_q_adaptive(L)
     f, by = attn_model(out_lens, L, m.ddim, bq_d)
-    add("dec attention+res (x4)",
+    add("dec attention+qkv+res+LN (x4)",
         sum(v for k_, v in times.items()
             if k_.startswith("fused_attention") and v >= 100) / 4,
         f, by, f"bq={bq_d}")

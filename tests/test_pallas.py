@@ -567,6 +567,49 @@ def test_fused_attention_res_ln_matches_res_plus_layernorm(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_attention_qkv_res_ln_matches_projected_kernel(rng):
+    """The QKV-folded post-LN kernel == [nn.linear Q/K/V projections ->
+    packed+res+LN kernel] when the attention input and residual are the same
+    tensor (the post-LN block contract), including dead q-blocks and the
+    K/V-scratch reuse across a row's query blocks (block_q < T)."""
+    from fastspeech2_tpu.ops import nn
+    from fastspeech2_tpu.ops.pallas.attention import (
+        fused_attention_packed_qkv_res_ln, fused_attention_packed_res_ln)
+
+    B, T, D, H = 3, 32, 64, 2
+    g = rng
+    key = jax.random.PRNGKey(11)
+    params = init_mha(key, D, dtype=jnp.float32)
+    x = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    gamma = jnp.asarray(g.normal(size=(D,)) * 0.2 + 1.0, jnp.float32)
+    beta = jnp.asarray(g.normal(size=(D,)) * 0.1, jnp.float32)
+    lengths = jnp.asarray([32, 13, 1], jnp.int32)
+
+    q = nn.linear(params["q"], x)
+    k = nn.linear(params["k"], x)
+    v = nn.linear(params["v"], x)
+    wo = params["out"]["w"]
+    bo = params["out"]["b"].reshape(1, -1)
+    expect = fused_attention_packed_res_ln(q, k, v, x, wo, bo, gamma, beta,
+                                           lengths, H, interpret=True,
+                                           block_q=8)
+
+    wqkv = jnp.stack([params["q"]["w"], params["k"]["w"], params["v"]["w"]])
+    bqkv = jnp.stack([params["q"]["b"], params["k"]["b"], params["v"]["b"]])
+    got = fused_attention_packed_qkv_res_ln(x, wqkv, bqkv, wo, bo, gamma,
+                                            beta, lengths, H, interpret=True,
+                                            block_q=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    # whole-T blocks == small blocks (same scratch path, single q-block)
+    whole = fused_attention_packed_qkv_res_ln(x, wqkv, bqkv, wo, bo, gamma,
+                                              beta, lengths, H,
+                                              interpret=True, block_q=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(whole),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fused_ffn_block_post_matches_xla_chain(rng):
     """Post-LN FFT-block tail kernel == mask -> conv-FFN -> +residual -> LN
     as separate XLA ops (ffn_fused_apply is itself oracle-tested above)."""
@@ -621,17 +664,24 @@ def test_postln_fused_block_through_encoder_matches_xla(monkeypatch):
     mask = attention_mask(ilens, T)
     conv_mask = make_non_pad_mask(ilens, T)
 
-    attn_calls, ffn_calls = [], []
+    from fastspeech2_tpu.ops import flags
+
+    attn_calls, qkv_calls, ffn_calls = [], [], []
     real_attn = attn_mod.fused_attention_packed_res_ln
+    real_qkv = attn_mod.fused_attention_packed_qkv_res_ln
     real_ffn = ffn_mod.fused_ffn_block_post
     monkeypatch.setattr(attn_mod, "fused_attention_packed_res_ln",
                         lambda *a, **k: (attn_calls.append(1),
                                          real_attn(*a, **k))[1])
+    monkeypatch.setattr(attn_mod, "fused_attention_packed_qkv_res_ln",
+                        lambda *a, **k: (qkv_calls.append(1),
+                                         real_qkv(*a, **k))[1])
     monkeypatch.setattr(ffn_mod, "fused_ffn_block_post",
                         lambda *a, **k: (ffn_calls.append(1),
                                          real_ffn(*a, **k))[1])
 
-    def run(fused):
+    def run(fused, qkv=False):
+        monkeypatch.setattr(flags, "FUSED_ATT_QKV", qkv)
         with pltpu.force_tpu_interpret_mode(), compute_dtype(jnp.bfloat16):
             return np.asarray(encoder_apply(
                 params, cfg, xs, mask, conv_mask=conv_mask, lengths=ilens,
@@ -639,6 +689,7 @@ def test_postln_fused_block_through_encoder_matches_xla(monkeypatch):
 
     out_fused = run(True)
     assert attn_calls and ffn_calls, "post-LN fused paths did not engage"
+    assert not qkv_calls, "QKV variant must stay off when flagged off"
     n_attn, n_ffn = len(attn_calls), len(ffn_calls)
     out_xla = run(False)
     assert (len(attn_calls), len(ffn_calls)) == (n_attn, n_ffn), \
@@ -646,3 +697,12 @@ def test_postln_fused_block_through_encoder_matches_xla(monkeypatch):
     # bf16 rounding differs between the paths; LN keeps scale ~1
     assert np.abs(out_fused - out_xla).mean() < 0.02
     assert np.abs(out_fused - out_xla).max() < 0.25
+
+    # QKV-folded variant through the same encoder: engages instead of the
+    # split kernel and agrees with both other paths
+    out_qkv = run(True, qkv=True)
+    assert qkv_calls, "QKV-folded path did not engage"
+    assert len(attn_calls) == n_attn, "split kernel ran under the QKV flag"
+    assert np.abs(out_qkv - out_xla).mean() < 0.02
+    assert np.abs(out_qkv - out_xla).max() < 0.25
+    assert np.abs(out_qkv - out_fused).mean() < 0.02
