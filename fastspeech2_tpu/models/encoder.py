@@ -253,7 +253,14 @@ def encoder_apply(
         r = iter(brngs)
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
-        if use_fused_res:
+        # int8-quantized attention projections ({"q","s"} leaves, ops/quant8)
+        # keep the split path: the res/QKV mega-kernels hold the out-proj /
+        # QKV weight tiles VMEM-resident as plain dense arrays, while
+        # mha_fused_apply's nn.linear projections dispatch per-leaf to the
+        # int8 MXU path transparently
+        attn_dense = "w" in layer["attn"]["out"]
+        ran_fused_res = use_fused_res and attn_dense
+        if ran_fused_res:
             # fused [attention -> out-proj -> +residual]: the XLA residual
             # add + out-proj round-trips fold into the kernel (tp=1 only --
             # the row-parallel out projection needs its psum before the
@@ -311,7 +318,7 @@ def encoder_apply(
             else:
                 x = residual + nn.dropout(next(r), att, cfg.dropout_rate,
                                           deterministic=deterministic)
-        if not cfg.normalize_before and not use_fused_res:
+        if not cfg.normalize_before and not ran_fused_res:
             # post-LN; the fused-res path already applied it in-kernel
             x = nn.layer_norm(layer["norm1"], x)
 

@@ -144,3 +144,53 @@ def test_synthesizer_int8_end_to_end(key):
     mae = float(np.mean(np.abs(mel_i8[:L] - mel_f32[:L])))
     spread = float(mel_f32.std())
     assert mae < 0.15 * spread, (mae, spread)
+
+
+def test_int8_with_fused_attention_takes_split_path(key, monkeypatch):
+    """int8-quantized attention projections ({"q","s"} leaves) must NOT crash
+    the fused serving path: the res/QKV mega-kernels need dense weight tiles,
+    so quantized layers fall back to mha_fused_apply (whose nn.linear
+    projections dispatch to the int8 MXU path) and the post-LN LayerNorm is
+    applied outside the kernel. Regression: before the attn_dense guard this
+    raised KeyError('w') at trace time."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import fastspeech2_tpu.ops.pallas.attention as attn_mod
+    from fastspeech2_tpu.config import Config, ModelConfig
+    from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
+    from fastspeech2_tpu.ops.precision import compute_dtype
+    from fastspeech2_tpu.ops.quant8 import quantize_model_params
+
+    # d_k = 256/2 = 128 so the fused attention tier engages
+    cfg = Config(model=ModelConfig(adim=256, aheads=2, elayers=1, eunits=64,
+                                   ddim=256, dlayers=1, dunits=64,
+                                   postnet_layers=2, postnet_chans=16,
+                                   positionwise_conv_kernel_size=3,
+                                   duration_predictor_chans=16,
+                                   fused_attention="on"))
+    model = FastSpeech2(cfg)
+    params, state = model.init(key)
+    params["duration_predictor"]["out"]["b"] = (
+        params["duration_predictor"]["out"]["b"] * 0 + 1.2)
+    qp = jax.jit(quantize_model_params)(params)
+    g = np.random.default_rng(0)
+    xs = jnp.asarray(g.integers(1, 68, (2, 32)), jnp.int32)
+    ilens = jnp.asarray([32, 20], jnp.int32)
+
+    plain_calls = []
+    real = attn_mod.fused_attention_packed
+    monkeypatch.setattr(attn_mod, "fused_attention_packed",
+                        lambda *a, **k: (plain_calls.append(1),
+                                         real(*a, **k))[1])
+    with pltpu.force_tpu_interpret_mode(), compute_dtype(jnp.bfloat16):
+        mel, ol, _ = model.inference(qp, state, xs, ilens, out_maxlen=128)
+        mel_xla, ol_xla, _ = FastSpeech2(
+            Config(model=ModelConfig(**{**cfg.model.__dict__,
+                                        "fused_attention": "off"}))
+        ).inference(qp, state, xs, ilens, out_maxlen=128)
+    assert plain_calls, "split fused kernel did not engage for int8 params"
+    np.testing.assert_array_equal(np.asarray(ol), np.asarray(ol_xla))
+    L = int(ol[0])
+    mae = float(np.mean(np.abs(np.asarray(mel)[0, :L]
+                               - np.asarray(mel_xla)[0, :L])))
+    assert mae < 0.1, mae  # bf16 kernel-vs-XLA rounding only
