@@ -54,11 +54,14 @@ def _device_region_ms(trace_dir: str, expect_calls: int = 0):
     given, only groups whose call count equals it are summed -- each
     executable of a multi-part step runs once per step, while a stray
     one-off jit (a re-traced executable, a helper run once inside the
-    window) has a different count and would otherwise inflate the sum;
-    excluded groups are reported, and a window with no matching group is
-    reported unusable (None) rather than returning a number whose
-    denominator is wrong. Returns (total_ms, n_calls) or (None, 0) when no
-    device track exists (CPU)."""
+    window) has a different count and would otherwise inflate the sum.
+    Stray groups above 1% of the matching time drop the window entirely
+    (they could be real step components with k != 1 dispatches per step --
+    excluding them would undercount, keeping them would inflate; neither is
+    attributable), trivial strays are excluded with a note, and a window
+    with no matching group is reported unusable (None) rather than
+    returning a number whose denominator is wrong. Returns
+    (total_ms, n_calls) or (None, 0) when no device track exists (CPU)."""
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                              recursive=True))
     if not paths:
@@ -85,17 +88,30 @@ def _device_region_ms(trace_dir: str, expect_calls: int = 0):
     if expect_calls:
         stray = {k: v for k, v in groups.items() if v[1] != expect_calls}
         groups = {k: v for k, v in groups.items() if v[1] == expect_calls}
-        if stray:
-            print("bench: excluding stray device groups "
-                  + ", ".join(f"{k} (n={v[1]}, {v[0]/1e3:.2f} ms)"
-                              for k, v in stray.items())
-                  + f" from the {expect_calls}-call window in {trace_dir}",
-                  file=sys.stderr)
         if not groups:
             print(f"bench: trace in {trace_dir} has no jit_* group with "
                   f"{expect_calls} device calls; window dropped",
                   file=sys.stderr)
             return None, 0
+        if stray:
+            # a stray group is usually a one-off helper jit (microseconds);
+            # but if its time is a real fraction of the step, excluding it
+            # would UNDERCOUNT the step (e.g. a component executable that
+            # runs k != 1 times per step, or a clipped first dispatch) --
+            # drop the window instead of risking an overstated metric
+            stray_us = sum(v[0] for v in stray.values())
+            match_us = sum(v[0] for v in groups.values())
+            desc = ", ".join(f"{k} (n={v[1]}, {v[0]/1e3:.2f} ms)"
+                             for k, v in stray.items())
+            if stray_us > 0.01 * match_us:
+                print(f"bench: stray device groups [{desc}] carry "
+                      f"{100 * stray_us / match_us:.1f}% of the "
+                      f"{expect_calls}-call window in {trace_dir}; window "
+                      "dropped (cannot attribute)", file=sys.stderr)
+                return None, 0
+            print(f"bench: excluding trivial stray device groups [{desc}] "
+                  f"from the {expect_calls}-call window in {trace_dir}",
+                  file=sys.stderr)
     total_us = sum(v[0] for v in groups.values())
     n = max(v[1] for v in groups.values())
     return total_us / 1000.0, n

@@ -137,20 +137,20 @@ class Batcher:
         """Dispatch thread: pad + issue the device call, hand the finisher
         to the delivery thread, immediately take the next batch."""
         while not self._stop.is_set():
+            # take a dispatch slot BEFORE collecting the batch: while both
+            # slots are busy (delivery-bound pipeline) arriving requests
+            # keep pooling in q and join ONE fuller micro-batch instead of
+            # fragmenting across two under-filled dispatches; it also keeps
+            # dispatched-but-undelivered batches bounded at two (docstring).
+            # Stay responsive to close() while waiting.
+            got_slot = False
+            while not got_slot and not self._stop.is_set():
+                got_slot = self._slots.acquire(timeout=0.5)
+            if not got_slot:
+                break
             batch = self._take_batch()
             if not batch:
-                continue
-            # take a dispatch slot BEFORE the device call so at most two
-            # batches are dispatched-but-undelivered (see class docstring);
-            # stay responsive to close() while waiting
-            while not self._slots.acquire(timeout=0.5):
-                if self._stop.is_set():
-                    for r in batch:
-                        r.error = "server shutting down"
-                        r.done.set()
-                    batch = None
-                    break
-            if batch is None:
+                self._slots.release()
                 continue
             fused = bool(getattr(self.synth, "has_vocoder", False))
             try:

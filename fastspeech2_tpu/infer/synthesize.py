@@ -50,6 +50,20 @@ def pcm16(wav, xp=jnp):
     return xp.round(xp.clip(wav, -1.0, 1.0) * 32767.0).astype(xp.int16)
 
 
+def _demand_in_jit(d_outs, alphas, ilens, T):
+    """Exact pre-clip frame demand, computed inside the serving jit by the
+    SAME scale/mask/fallback functions the length-regulator expansion uses
+    (ops/length_regulator.py) -- the saturation check (finish_mel/finish_wav)
+    can never drift from what the expansion actually did. Shared by the mel
+    and fused-wav jit builders so the two paths cannot diverge either."""
+    from fastspeech2_tpu.ops import make_non_pad_mask
+    from fastspeech2_tpu.ops.length_regulator import (frame_demand,
+                                                      scale_durations)
+
+    return frame_demand(scale_durations(d_outs, alphas),
+                        make_non_pad_mask(ilens, T))
+
+
 class Synthesizer:
     """Stateful wrapper: holds params + jit caches keyed by static shapes."""
 
@@ -126,21 +140,12 @@ class Synthesizer:
             dt, _prec, _kmesh = self._compute_ctx()
 
             def infer(params, state, xs, ilens, alphas):
-                from fastspeech2_tpu.ops import make_non_pad_mask
-                from fastspeech2_tpu.ops.length_regulator import (
-                    frame_demand, scale_durations)
-
                 with compute_dtype(dt), _prec(), _kmesh():
                     mel, out_lens, d_outs = self.model.inference(
                         params, state, xs, ilens, out_maxlen=l_pad,
                         alpha=alphas)
-                    # exact pre-clip frame demand, computed device-side by
-                    # the SAME scale/mask/fallback functions the expansion
-                    # uses -- the saturation check (finish_mel) can never
-                    # drift from what the length regulator actually did
-                    demand = frame_demand(
-                        scale_durations(d_outs, alphas),
-                        make_non_pad_mask(ilens, xs.shape[1]))
+                    demand = _demand_in_jit(d_outs, alphas, ilens,
+                                            xs.shape[1])
                 return mel, out_lens, demand
             if self.mesh is not None:
                 from fastspeech2_tpu.parallel.mesh import shard_inference_fn
@@ -194,10 +199,6 @@ class Synthesizer:
             gen = self._voc
 
             def infer_wav(params, state, voc_params, xs, ilens, alphas):
-                from fastspeech2_tpu.ops import make_non_pad_mask
-                from fastspeech2_tpu.ops.length_regulator import (
-                    frame_demand, scale_durations)
-
                 with compute_dtype(dt), _prec(), _kmesh():
                     mel, out_lens, d_outs = self.model.inference(
                         params, state, xs, ilens, out_maxlen=l_pad,
@@ -210,9 +211,8 @@ class Synthesizer:
                     # PCM on-device halves the device->host bytes and the
                     # server writes it straight into the RIFF body. demand
                     # rides out for the exact saturation check (see _fn).
-                    demand = frame_demand(
-                        scale_durations(d_outs, alphas),
-                        make_non_pad_mask(ilens, xs.shape[1]))
+                    demand = _demand_in_jit(d_outs, alphas, ilens,
+                                            xs.shape[1])
                     wav = gen(voc_params, mel_floor_mask(mel, out_lens))
                 return mel, pcm16(wav), out_lens, demand
             if self.mesh is not None:

@@ -525,10 +525,10 @@ def mha_fused_res_ln_apply(params, p_ln, x: Array, residual: Array,
     return call(q, k, v, residual, lengths, wo, bo, p_ln["g"], p_ln["b"])
 
 
-def _attn_kernel_packed_qkv_res_ln(len_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref,
-                                   bo_ref, g_ref, be_ref, o_ref, k_s, v_s,
-                                   o_scr, *, scale: float, block_q: int,
-                                   n_heads: int, eps: float):
+def _attn_kernel_packed_qkv_res_ln(len_ref, x_ref, wq_ref, wk_ref, wv_ref,
+                                   bqkv_ref, wo_ref, bo_ref, g_ref, be_ref,
+                                   o_ref, k_s, v_s, o_scr, *, scale: float,
+                                   block_q: int, n_heads: int, eps: float):
     """:func:`_attn_kernel_packed_res_ln` with the QKV projections folded in.
 
     Valid for post-LN blocks only, where the attention input and the
@@ -559,8 +559,8 @@ def _attn_kernel_packed_qkv_res_ln(len_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref,
     @pl.when(qi == 0)
     def _project_kv():
         xc = x_ref[0].astype(cd)  # (T, D)
-        k_s[:] = proj(xc, wqkv_ref[1], bqkv_ref[1:2])
-        v_s[:] = proj(xc, wqkv_ref[2], bqkv_ref[2:3])
+        k_s[:] = proj(xc, wk_ref[:], bqkv_ref[1:2])
+        v_s[:] = proj(xc, wv_ref[:], bqkv_ref[2:3])
 
     def ln(t):
         from fastspeech2_tpu.ops.pallas.common import ln_tile
@@ -575,7 +575,7 @@ def _attn_kernel_packed_qkv_res_ln(len_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref,
 
     @pl.when(qi * block_q < length)
     def _live_block():
-        q = proj(res.astype(cd), wqkv_ref[0], bqkv_ref[0:1])
+        q = proj(res.astype(cd), wq_ref[:], bqkv_ref[0:1])
         out = _attn_res_tile(q, k_s[:], v_s[:], res, wo_ref, bo_ref, o_scr,
                              length, qi, scale=scale, block_q=block_q,
                              n_heads=n_heads, prec=prec, cd=cd)
@@ -584,7 +584,8 @@ def _attn_kernel_packed_qkv_res_ln(len_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "eps", "interpret", "block_q"))
-def fused_attention_packed_qkv_res_ln(x: Array, wqkv: Array, bqkv: Array,
+def fused_attention_packed_qkv_res_ln(x: Array, wq: Array, wk: Array,
+                                      wv: Array, bqkv: Array,
                                       wo: Array, bo: Array, g: Array,
                                       be: Array, lengths: Array, n_heads: int,
                                       *, eps: float = 1e-5,
@@ -595,8 +596,12 @@ def fused_attention_packed_qkv_res_ln(x: Array, wqkv: Array, bqkv: Array,
 
     Args:
         x: (B, T, D) f32 block input == residual stream (post-LN only).
-        wqkv: (3, D, D) stacked Q/K/V projection weights, compute dtype.
-        bqkv: (3, D) f32 stacked projection biases.
+        wq/wk/wv: (D, D) projection weights in the compute dtype -- passed
+            as three separate inputs so no per-call stacking copy exists
+            in the serving program (the weight tiles ride straight from
+            the params tree into VMEM).
+        bqkv: (3, D) f32 stacked projection biases (4.6 KB -- the stack is
+            noise next to the weight tiles).
         wo/bo/g/be: out projection + LayerNorm params as in
             :func:`fused_attention_packed_res_ln`.
     """
@@ -611,8 +616,6 @@ def fused_attention_packed_qkv_res_ln(x: Array, wqkv: Array, bqkv: Array,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, bq, D), lambda b, i, lens: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    wqkvspec = pl.BlockSpec((3, D, D), lambda b, i, lens: (0, 0, 0),
-                            memory_space=pltpu.VMEM)
     bqkvspec = pl.BlockSpec((3, D), lambda b, i, lens: (0, 0),
                             memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((D, D), lambda b, i, lens: (0, 0),
@@ -622,7 +625,8 @@ def fused_attention_packed_qkv_res_ln(x: Array, wqkv: Array, bqkv: Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, T // bq),
-        in_specs=[xspec, wqkvspec, bqkvspec, wspec, bspec, bspec, bspec],
+        in_specs=[xspec, wspec, wspec, wspec, bqkvspec, wspec, bspec, bspec,
+                  bspec],
         out_specs=ospec,
         scratch_shapes=[pltpu.VMEM((T, D), cd), pltpu.VMEM((T, D), cd),
                         pltpu.VMEM((bq, D), cd)],
@@ -639,7 +643,8 @@ def fused_attention_packed_qkv_res_ln(x: Array, wqkv: Array, bqkv: Array,
             bytes_accessed=2 * B * T * D * 4 + 4 * D * D * 2,
             transcendentals=B * n_heads * T * T,
         ),
-    )(lengths.astype(jnp.int32), x.astype(jnp.float32), wqkv,
+    )(lengths.astype(jnp.int32), x.astype(jnp.float32),
+      wq.astype(cd), wk.astype(cd), wv.astype(cd),
       bqkv.astype(jnp.float32), wo, bo.astype(jnp.float32),
       g.reshape(1, D).astype(jnp.float32),
       be.reshape(1, D).astype(jnp.float32))
@@ -657,20 +662,22 @@ def mha_fused_block_ln_apply(params, p_ln, x: Array, lengths: Array,
                                                    data_shard_map)
 
     dt = current_compute_dtype() or x.dtype
-    wqkv = jnp.stack([params["q"]["w"], params["k"]["w"],
-                      params["v"]["w"]]).astype(dt)
+    wq = params["q"]["w"].astype(dt)
+    wk = params["k"]["w"].astype(dt)
+    wv = params["v"]["w"].astype(dt)
     bqkv = jnp.stack([params["q"]["b"], params["k"]["b"], params["v"]["b"]])
     wo = params["out"]["w"].astype(dt)
     bo = params["out"]["b"].reshape(1, -1)
 
-    def call(x, lens, wqkv, bqkv, wo, bo, g, be):
+    def call(x, lens, wq, wk, wv, bqkv, wo, bo, g, be):
         return fused_attention_packed_qkv_res_ln(
-            x, wqkv, bqkv, wo, bo, g, be, lens, n_heads, interpret=interpret)
+            x, wq, wk, wv, bqkv, wo, bo, g, be, lens, n_heads,
+            interpret=interpret)
 
     mesh = current_tp_mesh()
     if mesh is not None:
         call = data_shard_map(call, mesh, batched=(0, 1))
-    return call(x, lengths, wqkv, bqkv, wo, bo, p_ln["g"], p_ln["b"])
+    return call(x, lengths, wq, wk, wv, bqkv, wo, bo, p_ln["g"], p_ln["b"])
 
 
 def fused_attention_packed_tp(q: Array, k: Array, v: Array, lengths: Array,

@@ -170,10 +170,18 @@ def main():
     def ffn_flops_per_frame(D, H, k):
         return 2 * (k * D * H + H * D)
 
+    # the attention FLOP/byte model must match the kernel variant that
+    # actually ran: the QKV fold is flag-gated (ops/flags.py) and int8
+    # params force the split path (models/encoder.py attn_dense guard)
+    from fastspeech2_tpu.ops import flags
+
+    qkv = bool(flags.FUSED_ATT_QKV)
+    attn_label = "attention+qkv+res+LN" if qkv else "attention+res+LN"
+
     # encoder kernels (token axis: lens = ilens, pad T=128)
     bq_e = _pick_block_q_adaptive(T)
-    f, by = attn_model(ilens, T, m.adim, bq_e)
-    add("enc attention+qkv+res+LN (x4)",
+    f, by = attn_model(ilens, T, m.adim, bq_e, qkv=qkv)
+    add(f"enc {attn_label} (x4)",
         sum(v for k_, v in times.items()
             if k_.startswith("fused_attention") and v < 100) / 4,
         f, by, f"bq={bq_e}")
@@ -191,8 +199,8 @@ def main():
 
     # decoder kernels (frame axis: lens = out_lens, pad L=896)
     bq_d = _pick_block_q_adaptive(L)
-    f, by = attn_model(out_lens, L, m.ddim, bq_d)
-    add("dec attention+qkv+res+LN (x4)",
+    f, by = attn_model(out_lens, L, m.ddim, bq_d, qkv=qkv)
+    add(f"dec {attn_label} (x4)",
         sum(v for k_, v in times.items()
             if k_.startswith("fused_attention") and v >= 100) / 4,
         f, by, f"bq={bq_d}")

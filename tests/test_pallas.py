@@ -594,18 +594,17 @@ def test_fused_attention_qkv_res_ln_matches_projected_kernel(rng):
                                            lengths, H, interpret=True,
                                            block_q=8)
 
-    wqkv = jnp.stack([params["q"]["w"], params["k"]["w"], params["v"]["w"]])
     bqkv = jnp.stack([params["q"]["b"], params["k"]["b"], params["v"]["b"]])
-    got = fused_attention_packed_qkv_res_ln(x, wqkv, bqkv, wo, bo, gamma,
-                                            beta, lengths, H, interpret=True,
-                                            block_q=8)
+    got = fused_attention_packed_qkv_res_ln(
+        x, params["q"]["w"], params["k"]["w"], params["v"]["w"], bqkv,
+        wo, bo, gamma, beta, lengths, H, interpret=True, block_q=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-5, atol=1e-5)
 
     # whole-T blocks == small blocks (same scratch path, single q-block)
-    whole = fused_attention_packed_qkv_res_ln(x, wqkv, bqkv, wo, bo, gamma,
-                                              beta, lengths, H,
-                                              interpret=True, block_q=32)
+    whole = fused_attention_packed_qkv_res_ln(
+        x, params["q"]["w"], params["k"]["w"], params["v"]["w"], bqkv,
+        wo, bo, gamma, beta, lengths, H, interpret=True, block_q=32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(whole),
                                rtol=1e-6, atol=1e-6)
 
