@@ -184,7 +184,15 @@ def fused_variance_adaptor(
     nbins = bins.shape[1]
     assert emb_w.shape == (2, nbins, D), emb_w.shape
     if block_l is None:
-        block_l = pick_block_t(L)
+        # whole-row when VMEM stays comfortable: the (L, C) conv matmuls at
+        # M=L utilize the MXU far better than M=128 blocks, outweighing the
+        # dead-block length-skipping whole-row gives up (measured on v5e at
+        # the bench shape: 454 -> 388 us/call, serving step -1.0%; PARITY.md
+        # "Round-4 block-shape tunes"). The (B, 2, L) raw-output block's
+        # last-dim constraint (%128 == 0 or == L) is trivially satisfied by
+        # whole-row. Past L=1024 the f32 scratches approach the VMEM budget
+        # and low-occupancy skipping matters more -- keep 128 blocks.
+        block_l = L if L <= 1024 else pick_block_t(L)
     assert L % block_l == 0, (L, block_l)
     pad = (k - 1) // 2
 

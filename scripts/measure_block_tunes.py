@@ -138,6 +138,9 @@ def main():
                               else orig_attn(T)}
         yield "adaptor_bl=64", {"ad": lambda T, candidates=None: 64}
         yield "adaptor_bl=448", {"ad": lambda T, candidates=None: 448}
+        # 896 (whole row) is the only OTHER divisor of L=896 that satisfies
+        # the (B, 2, L) raw-output block's %128 constraint besides 128
+        yield "adaptor_bl=896", {"ad": lambda T, candidates=None: 896}
         yield "postnet_bt=64", {"pn": lambda T, candidates=None: 64}
         yield "postnet_bt=128", {"pn": lambda T, candidates=None: 128}
         yield "postnet_bt=224", {"pn": lambda T, candidates=None: 224}
