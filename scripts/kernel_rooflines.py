@@ -214,12 +214,17 @@ def main():
         B * L * m.ddim * (4 + 4) + live_d * m.ddim * 2,
         f"bt={bt_d}")
 
-    live_a = float(np.sum(ceil_blocks(out_lens, bt_d) * bt_d))
+    # mirror the kernel's own picker (ops/pallas/adaptor.py): whole-row for
+    # L <= 1024, else 128 blocks -- the liveness model must use the block
+    # size that actually ran (whole-row gives up dead-block skipping, so
+    # every live row pays the full L)
+    bl_a = L if L <= 1024 else bt_d
+    live_a = float(np.sum(ceil_blocks(out_lens, bl_a) * bl_a))
     add("variance adaptor", times.get("fused_variance_adaptor.1", 0),
         live_a * convstack_flops_per_frame(),
         (B * T * m.adim * 2  # hs in, once per row
          + B * L * m.adim * 2 * 2  # out f32... out is f32: 4 bytes
-         ) * 1.0 + B * L * 4, f"bl={bt_d}")
+         ) * 1.0 + B * L * 4, f"bl={bl_a}")
 
     bt_pn = pick_block_t(L, candidates=(224, 128, 64, 32, 16, 8))
     live_pn = float(np.sum(ceil_blocks(out_lens, bt_pn) * bt_pn))
