@@ -70,7 +70,8 @@ class Synthesizer:
     def __init__(self, model: FastSpeech2, params, state,
                  token_multiple: int = 32, frames_per_token: int = 12,
                  max_frames: int = 2048, bf16: bool = False, mesh=None,
-                 matmul_precision: str = "default", int8: bool = False):
+                 matmul_precision: str = "default", int8: bool = False,
+                 demand_sized: Optional[bool] = None):
         self.model = model
         if int8:
             # W8A8 serving tier: encoder/decoder attention projections + FFN
@@ -99,7 +100,19 @@ class Synthesizer:
         # shards over the 1-D 'data' mesh (parallel/mesh.py); batches pad up
         # to a multiple of the mesh size
         self.mesh = mesh
+        # demand-sized decode (ops/flags.py:DEMAND_SIZED): split the serving
+        # call into encode (-> exact frame demand) + decode on the smallest
+        # 256-frame rung >= the batch demand, instead of one program on the
+        # frames_per_token-heuristic buffer (measured 0.53 occupancy)
+        if demand_sized is None:
+            from fastspeech2_tpu.ops import flags
+
+            demand_sized = flags.DEMAND_SIZED
+        self.demand_sized = demand_sized
         self._jitted = {}
+        self._jitted_enc = {}
+        self._jitted_dec = {}
+        self._jitted_dec_wav = {}
         # fused text->wav: set by attach_vocoder
         self._voc = None
         self._voc_params = None
@@ -157,6 +170,79 @@ class Synthesizer:
                 self._jitted[key] = jax.jit(infer)
         return self._jitted[key]
 
+    def _enc_fn(self, t_pad: int):
+        """Encode program for the demand-sized path: encoder + duration head
+        + exact frame demand, keyed by t_pad only. hs/d_outs stay on device
+        for the decode program; only demand crosses to the host."""
+        if t_pad not in self._jitted_enc:
+            from fastspeech2_tpu.ops.precision import compute_dtype
+
+            dt, _prec, _kmesh = self._compute_ctx()
+
+            def enc(params, xs, ilens, alphas):
+                with compute_dtype(dt), _prec(), _kmesh():
+                    hs, d_outs = self.model.encode(params, xs, ilens)
+                    demand = _demand_in_jit(d_outs, alphas, ilens,
+                                            xs.shape[1])
+                return hs, d_outs, demand
+            if self.mesh is not None:
+                from fastspeech2_tpu.parallel.mesh import shard_inference_fn
+
+                self._jitted_enc[t_pad] = shard_inference_fn(
+                    enc, self.mesh, n_replicated=1, n_data=3)
+            else:
+                self._jitted_enc[t_pad] = jax.jit(enc)
+        return self._jitted_enc[t_pad]
+
+    def _dec_fn(self, t_pad: int, l_pad: int):
+        """Decode program: length-regulate + adaptor + decoder + postnet on
+        a demand-sized frame buffer."""
+        key = (t_pad, l_pad)
+        if key not in self._jitted_dec:
+            from fastspeech2_tpu.ops.precision import compute_dtype
+
+            dt, _prec, _kmesh = self._compute_ctx()
+
+            def dec(params, state, hs, d_outs, ilens, alphas):
+                with compute_dtype(dt), _prec(), _kmesh():
+                    mel, out_lens = self.model.decode_frames(
+                        params, state, hs, d_outs, ilens, out_maxlen=l_pad,
+                        alpha=alphas)
+                return mel, out_lens
+            if self.mesh is not None:
+                from fastspeech2_tpu.parallel.mesh import shard_inference_fn
+
+                self._jitted_dec[key] = shard_inference_fn(
+                    dec, self.mesh, n_replicated=2, n_data=4)
+            else:
+                self._jitted_dec[key] = jax.jit(dec)
+        return self._jitted_dec[key]
+
+    def _dec_wav_fn(self, t_pad: int, l_pad: int):
+        """Decode + fused vocoder program for the demand-sized wav path."""
+        key = (t_pad, l_pad)
+        if key not in self._jitted_dec_wav:
+            from fastspeech2_tpu.ops.precision import compute_dtype
+
+            dt, _prec, _kmesh = self._compute_ctx()
+            gen = self._voc
+
+            def dec_wav(params, state, voc_params, hs, d_outs, ilens, alphas):
+                with compute_dtype(dt), _prec(), _kmesh():
+                    mel, out_lens = self.model.decode_frames(
+                        params, state, hs, d_outs, ilens, out_maxlen=l_pad,
+                        alpha=alphas)
+                    wav = gen(voc_params, mel_floor_mask(mel, out_lens))
+                return mel, pcm16(wav), out_lens
+            if self.mesh is not None:
+                from fastspeech2_tpu.parallel.mesh import shard_inference_fn
+
+                self._jitted_dec_wav[key] = shard_inference_fn(
+                    dec_wav, self.mesh, n_replicated=3, n_data=4)
+            else:
+                self._jitted_dec_wav[key] = jax.jit(dec_wav)
+        return self._jitted_dec_wav[key]
+
     def attach_vocoder(self, gen, voc_params) -> None:
         """Enable the fused text->wav path: acoustic model + MelGAN generator
         run as ONE device computation, so the mel never round-trips to the
@@ -169,6 +255,7 @@ class Synthesizer:
         self._voc = gen
         self._voc_params = voc_params
         self._jitted_wav = {}
+        self._jitted_dec_wav = {}
 
     def attach_vocoder_fn(self, fn, hop_length: Optional[int] = None) -> None:
         """Enable text->wav via a host-level vocoder callable
@@ -269,6 +356,49 @@ class Synthesizer:
         base = t_pad * self.frames_per_token * max(alpha_max, 1.0)
         return min(_round_up(int(np.ceil(base)), 256), self.max_frames)
 
+    def _l_rung(self, demand_max: int) -> int:
+        """Demand-sized frame capacity: the smallest 256-frame rung covering
+        the batch's exact (device-computed) demand, capped at max_frames.
+        256 keeps the rung set small (max_frames/256 shapes per t_pad, each
+        jitted once) and preserves the fused residual-stack vocoder kernel's
+        2048-sample tiling (hop 256 x 8 frames). A max_frames below one rung
+        caps the buffer exactly like the heuristic path's ladder does."""
+        return min(_round_up(max(demand_max, 1), 256), self.max_frames)
+
+    def _decode_groups(self, dem_all: np.ndarray):
+        """Row groups for the demand-sized decode dispatch: [(rows, rung)].
+
+        Splitting the decode at the demand median lets the short half stop
+        paying the long half's padded frame columns (decoder attention
+        score/context dots span the full padded L). Measured on v5e at the
+        bench workload: single demand rung -4.2%, 2-way split -7.9% vs the
+        heuristic buffer (scripts/measure_demand_sized.py, PARITY.md). One
+        group when the split wouldn't shrink the short rung, the batch is
+        tiny, or a data mesh needs sub-batches it can't divide."""
+        B_pad = len(dem_all)
+        rung_all = self._l_rung(int(dem_all.max()))
+        mesh_n = self.mesh.devices.size if self.mesh is not None else 1
+        if B_pad < 4 or (B_pad // 2) % mesh_n != 0:
+            return [(np.arange(B_pad), rung_all)]
+        order = np.argsort(dem_all, kind="stable")
+        short, long_ = order[: B_pad // 2], order[B_pad // 2:]
+        rung_s = self._l_rung(int(dem_all[short].max()))
+        if rung_s >= rung_all:
+            return [(np.arange(B_pad), rung_all)]
+        return [(short, rung_s), (long_, rung_all)]
+
+    def _demand_trunc(self, demand: np.ndarray, B: int) -> np.ndarray:
+        """Truncation flags for the demand-sized path: demand is known BEFORE
+        the decode dispatch, so the only capped rows are those past the hard
+        max_frames ceiling (no grow ladder exists on this path)."""
+        trunc = np.asarray(demand[:B]) > self.max_frames
+        if trunc.any():
+            log.warning(
+                "frame demand exceeds max_frames=%d for %d/%d rows -- "
+                "audio is truncated (raise max_frames or split the input)",
+                self.max_frames, int(trunc.sum()), B)
+        return trunc
+
     def _grow_l_pad(self, l_pad: int, demand: Optional[int] = None) -> int:
         """Next frame-buffer bucket after a saturation retrigger: the
         doubling ladder keeps the set of compiled shapes logarithmic, and
@@ -357,6 +487,45 @@ class Synthesizer:
             ilens[i] = len(s)
         xs_d, ilens_d, alphas_d = (jnp.asarray(xs), jnp.asarray(ilens),
                                    jnp.asarray(alphas))
+        if self.demand_sized:
+            dev_enc = self._enc_fn(t_pad)(self.params, xs_d, ilens_d,
+                                          alphas_d)
+
+            def finish_wav_demand():
+                (dem,) = self._host(dev_enc[2])
+                dem_all = np.asarray(dem)
+                trunc = self._demand_trunc(dem_all, B)
+                groups = self._decode_groups(dem_all)
+                l_max = max(r for _, r in groups)
+                hop = self._voc.cfg.hop_length
+                mel = wav = None
+                out_lens = np.zeros((B_pad,), np.int64)
+                for rows, rung in groups:
+                    if (t_pad, rung) not in self._jitted_dec_wav:
+                        log.info("demand -> decode rung l_pad=%d (first "
+                                 "time compiles)", rung)
+                    if len(groups) == 1:
+                        dev = self._dec_wav_fn(t_pad, rung)(
+                            self.params, self.state, self._voc_params,
+                            dev_enc[0], dev_enc[1], ilens_d, alphas_d)
+                    else:
+                        gi = jnp.asarray(rows)
+                        dev = self._dec_wav_fn(t_pad, rung)(
+                            self.params, self.state, self._voc_params,
+                            jnp.take(dev_enc[0], gi, axis=0),
+                            jnp.take(dev_enc[1], gi, axis=0),
+                            jnp.take(ilens_d, gi), jnp.take(alphas_d, gi))
+                    mel_g, wav_g, lens_g = self._host(dev[0], dev[1], dev[2])
+                    if mel is None:
+                        mel = np.zeros((B_pad, l_max, mel_g.shape[2]),
+                                       mel_g.dtype)
+                        wav = np.zeros((B_pad, l_max * hop), wav_g.dtype)
+                    mel[rows, : mel_g.shape[1]] = mel_g
+                    wav[rows, : wav_g.shape[1]] = wav_g
+                    out_lens[rows] = lens_g
+                return mel[:B], wav[:B], out_lens[:B] * hop, trunc
+
+            return finish_wav_demand
         dev = self._wav_fn(t_pad, l_pad)(
             self.params, self.state, self._voc_params, xs_d, ilens_d, alphas_d)
 
@@ -427,6 +596,45 @@ class Synthesizer:
         ilens[B:] = 1  # padded rows: minimal valid length, sliced away below
         xs_d, ilens_d, alphas_d = (jnp.asarray(xs), jnp.asarray(ilens),
                                    jnp.asarray(alphas))
+        if self.demand_sized:
+            dev_enc = self._enc_fn(t_pad)(self.params, xs_d, ilens_d,
+                                          alphas_d)
+
+            def finish_mel_demand():
+                # the demand read blocks until the encode program lands; in
+                # the double-buffered server the gap overlaps with the other
+                # in-flight batch's compute (infer/server.py Batcher)
+                (dem,) = self._host(dev_enc[2])
+                dem_all = np.asarray(dem)
+                trunc = self._demand_trunc(dem_all, B)
+                groups = self._decode_groups(dem_all)
+                l_max = max(r for _, r in groups)
+                mel = None
+                out_lens = np.zeros((B_pad,), np.int64)
+                for rows, rung in groups:
+                    if (t_pad, rung) not in self._jitted_dec:
+                        log.info("demand -> decode rung l_pad=%d (first "
+                                 "time compiles)", rung)
+                    if len(groups) == 1:
+                        dev = self._dec_fn(t_pad, rung)(
+                            self.params, self.state, dev_enc[0], dev_enc[1],
+                            ilens_d, alphas_d)
+                    else:
+                        gi = jnp.asarray(rows)
+                        dev = self._dec_fn(t_pad, rung)(
+                            self.params, self.state,
+                            jnp.take(dev_enc[0], gi, axis=0),
+                            jnp.take(dev_enc[1], gi, axis=0),
+                            jnp.take(ilens_d, gi), jnp.take(alphas_d, gi))
+                    mel_g, lens_g = self._host(dev[0], dev[1])
+                    if mel is None:
+                        mel = np.zeros((B_pad, l_max, mel_g.shape[2]),
+                                       mel_g.dtype)
+                    mel[rows, : mel_g.shape[1]] = mel_g
+                    out_lens[rows] = lens_g
+                return mel[:B], out_lens[:B], trunc
+
+            return finish_mel_demand
         dev = self._fn(t_pad, l_pad)(self.params, self.state, xs_d, ilens_d,
                                      alphas_d)
 
@@ -499,6 +707,44 @@ class Synthesizer:
                 else:
                     self.mel_from_token_batch(seqs)
                 calls += 1
+                if self.demand_sized:
+                    calls += self._warm_dec_rungs(t, b)
+        return calls
+
+    def _warm_dec_rungs(self, t: int, b: int) -> int:
+        """Demand-sized decode: the rung a real batch lands on depends on its
+        predicted durations, so the dummy warmup batch only compiles ONE
+        rung. Pre-compile every 256-frame rung up to the frames_per_token
+        heuristic ceiling for this token length (zero-filled inputs -- only
+        the compiled shape matters), so a live request's rung never pays the
+        20-40 s cold jit in the delivery thread."""
+        t_pad = _round_up(t, self.token_multiple)
+        B_pad = self._b_pad(b)
+        adim = self.model.cfg.model.adim
+        # the 2-way decode split (see _decode_groups) dispatches B_pad/2
+        # sub-batches: warm those shapes too when the split can engage
+        mesh_n = self.mesh.devices.size if self.mesh is not None else 1
+        sizes = [B_pad]
+        if B_pad >= 4 and (B_pad // 2) % mesh_n == 0:
+            sizes.append(B_pad // 2)
+        calls = 0
+        for bp in sizes:
+            hs0 = jnp.zeros((bp, t_pad, adim), jnp.float32)
+            d0 = jnp.ones((bp, t_pad), jnp.int32)
+            il0 = jnp.ones((bp,), jnp.int32)
+            al0 = jnp.ones((bp,), jnp.float32)
+            rung, top = 256, self._l_pad(t_pad, 1.0)
+            while rung <= top:
+                if self._voc is not None:
+                    out = self._dec_wav_fn(t_pad, rung)(
+                        self.params, self.state, self._voc_params, hs0, d0,
+                        il0, al0)
+                else:
+                    out = self._dec_fn(t_pad, rung)(
+                        self.params, self.state, hs0, d0, il0, al0)
+                self._host(out[-1])
+                calls += 1
+                rung += 256
         return calls
 
     def _bucket_plan(self, lens, max_buckets: int, a_max: float):

@@ -254,12 +254,26 @@ def encoder_apply(
         residual = x
         y = nn.layer_norm(layer["norm1"], x) if cfg.normalize_before else x
         # int8-quantized attention projections ({"q","s"} leaves, ops/quant8)
-        # keep the split path: the res/QKV mega-kernels hold the out-proj /
-        # QKV weight tiles VMEM-resident as plain dense arrays, while
-        # mha_fused_apply's nn.linear projections dispatch per-leaf to the
-        # int8 MXU path transparently
-        attn_dense = "w" in layer["attn"]["out"]
-        ran_fused_res = use_fused_res and attn_dense
+        # previously forced the split path and cost the int8 tier its speed
+        # rationale (r4: 0.93x bf16). Now the weight tiles are DEQUANTIZED
+        # on the fly (w ~= q * s, a few KB of VPU work per layer) and the
+        # res/QKV mega-kernels run exactly as in the bf16 tier: attention
+        # weights stay int8 in HBM (half memory), attention numerics improve
+        # (activations keep full precision; W8A8 only ever bought speed on
+        # the FFN convs, quant8.py docstring). All four leaves are checked
+        # because the mega-kernels read q/k/v/out weights directly -- a
+        # partially quantized layer must still take the split path.
+        attn_q8 = all("q" in layer["attn"][k_]
+                      for k_ in ("q", "k", "v", "out"))
+        attn_dense = all("w" in layer["attn"][k_]
+                         for k_ in ("q", "k", "v", "out"))
+        attn_p = layer["attn"]
+        if use_fused_res and attn_q8:
+            from fastspeech2_tpu.ops.quant8 import dequantize_linear_params
+
+            attn_p = {k_: dequantize_linear_params(v)
+                      for k_, v in layer["attn"].items()}
+        ran_fused_res = use_fused_res and (attn_dense or attn_q8)
         if ran_fused_res:
             # fused [attention -> out-proj -> +residual]: the XLA residual
             # add + out-proj round-trips fold into the kernel (tp=1 only --
@@ -270,7 +284,7 @@ def encoder_apply(
                 from fastspeech2_tpu.ops.pallas.attention import (
                     mha_fused_res_apply)
 
-                x = mha_fused_res_apply(layer["attn"], y, residual, lengths,
+                x = mha_fused_res_apply(attn_p, y, residual, lengths,
                                         cfg.attention_heads)
             elif flags.FUSED_ATT_QKV:
                 # post-LN: attention input == residual (y is x), so the QKV
@@ -279,14 +293,14 @@ def encoder_apply(
                 from fastspeech2_tpu.ops.pallas.attention import (
                     mha_fused_block_ln_apply)
 
-                x = mha_fused_block_ln_apply(layer["attn"], layer["norm1"],
+                x = mha_fused_block_ln_apply(attn_p, layer["norm1"],
                                              residual, lengths,
                                              cfg.attention_heads)
             else:
                 from fastspeech2_tpu.ops.pallas.attention import (
                     mha_fused_res_ln_apply)
 
-                x = mha_fused_res_ln_apply(layer["attn"], layer["norm1"], y,
+                x = mha_fused_res_ln_apply(attn_p, layer["norm1"], y,
                                            residual, lengths,
                                            cfg.attention_heads)
             next(r)  # attention-dropout + residual-dropout keys: identity on

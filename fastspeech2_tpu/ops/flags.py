@@ -28,3 +28,32 @@ FUSED_ATT_RES: bool = os.environ.get("FS2_FUSED_ATT_RES", "on") != "off"
 #: workload: serving step 7.234 -> 6.559 ms/call (-9.3%), KEPT (PARITY.md,
 #: "Round-4 QKV fold"). FS2_FUSED_ATT_QKV=off disables.
 FUSED_ATT_QKV: bool = os.environ.get("FS2_FUSED_ATT_QKV", "on") != "off"
+
+#: head-packed training attention kernels (ops/pallas/attention_train.py:
+#: fused_attention_train_packed): Q/K/V stay in row-major (B, T, D) with
+#: heads as D-slices, eliminating the 4 layout transposes per layer (plus
+#: backward mirrors) the (B, H, T, dk) kernels need around the projections.
+#: FS2_FUSED_ATT_TRAIN_PACKED=on enables (default off until the device A/B
+#: lands -- scripts/measure_train_packed.py; keep-or-revert in PARITY.md).
+FUSED_ATT_TRAIN_PACKED: bool = (
+    os.environ.get("FS2_FUSED_ATT_TRAIN_PACKED", "off") == "on")
+
+#: size the serving frame buffer from the EXACT per-batch frame demand
+#: instead of the frames-per-token heuristic: the serving call splits into
+#: an encode program (encoder + duration head -> demand) and a decode
+#: program dispatched on the smallest 256-frame rung >= the batch's demand
+#: (infer/synthesize.py). Attacks the measured 0.53 frame-buffer occupancy
+#: -- decoder attention score/context dots span the full padded L (VERDICT
+#: r4 next #1). Unlike the other flags this is host-side dispatch logic,
+#: not a trace-time branch; it exists as an env kill switch for A/B and
+#: rollback. FS2_DEMAND_SIZED=off disables.
+DEMAND_SIZED: bool = os.environ.get("FS2_DEMAND_SIZED", "on") != "off"
+
+#: run the duration head in f32 with Precision.HIGHEST dots inside the bf16
+#: speed path (models/fastspeech2.py:inference). The head's exp/round/clamp
+#: (reference duration_predictor.py:77-81) sits on a rounding knife-edge:
+#: bf16 head numerics flipped 3/5 parity sentences by +-1-3 frames
+#: (BENCH_r04.json duration_match 2/5), shifting every downstream frame. The
+#: head is ~0.1% of serving FLOPs, so full precision there is free.
+#: FS2_F32_DURATION=off disables (restores the pure-bf16 head).
+F32_DURATION: bool = os.environ.get("FS2_F32_DURATION", "on") != "off"

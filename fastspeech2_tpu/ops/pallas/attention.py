@@ -650,6 +650,25 @@ def fused_attention_packed_qkv_res_ln(x: Array, wq: Array, wk: Array,
       be.reshape(1, D).astype(jnp.float32))
 
 
+def _qkv_fold_vmem_ok(T: int, D: int, cd) -> bool:
+    """Does the QKV-folded kernel's resident VMEM fit at (T, D)?
+
+    The fold keeps a full-row f32 x block, two (T, D) K/V scratches in the
+    compute dtype, four (D, D) weight tiles, an o_scr/out tile and ~2 live
+    (bq, T) f32 score copies resident at once. The re-bucket ladder grows T
+    lazily in the serving delivery thread (infer/synthesize.py:_grow_l_pad),
+    so an over-budget shape would surface as a runtime Mosaic compile error
+    on a long utterance -- guard here and fall back to the split path (which
+    holds no whole-row x or K/V scratch) instead. Default max_frames=2048 at
+    D=384 bf16 is ~12 MB (fits); a user-raised 4096 re-bucket is ~18 MB
+    (falls back)."""
+    cdb = jnp.dtype(cd).itemsize
+    bq = _pick_block_q_adaptive(T)
+    resident = (T * D * 4 + 2 * T * D * cdb + 4 * D * D * cdb
+                + bq * D * (cdb + 4) + 2 * bq * T * 4)
+    return resident <= 14 * 2**20
+
+
 def mha_fused_block_ln_apply(params, p_ln, x: Array, lengths: Array,
                              n_heads: int, *, interpret: bool = False) -> Array:
     """Post-LN FFT-block attention half with EVERYTHING in one kernel:
@@ -662,6 +681,10 @@ def mha_fused_block_ln_apply(params, p_ln, x: Array, lengths: Array,
                                                    data_shard_map)
 
     dt = current_compute_dtype() or x.dtype
+    if not _qkv_fold_vmem_ok(x.shape[1], x.shape[2], dt):
+        # split path: XLA QKV projections + fused [attn -> out -> +res -> LN]
+        return mha_fused_res_ln_apply(params, p_ln, x, x, lengths, n_heads,
+                                      interpret=interpret)
     wq = params["q"]["w"].astype(dt)
     wk = params["k"]["w"].astype(dt)
     wv = params["v"]["w"].astype(dt)

@@ -199,6 +199,168 @@ def _call_bwd(q, k, v, do, lengths, seed, rate, interpret):
     )(lengths.astype(jnp.int32), seed, q, k, v, do)
 
 
+#: whole-T packed kernels: bwd holds two (T, T) f32 scratches + a transient
+#: (T, T) compute-dtype ds next to the whole-row (T, D) I/O blocks; 896 is
+#: the largest train bucket that stays under the 16 MB VMEM scope
+PACKED_MAX_T = 896
+
+
+def _fwd_kernel_packed(len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                       scale: float, rate: float, n_heads: int):
+    """Head-PACKED training forward: (B, T, D) Q/K/V with heads as
+    contiguous D-slices (head h = columns [h*dk, (h+1)*dk)). The (B,H,T,dk)
+    variant needs 4 layout transposes per layer around the projections
+    (3 in + 1 out, mirrored in backward); here the projection outputs feed
+    the kernel in their natural row-major layout, like the serving
+    fused_attention_packed. Same math, same (seed, b, h) dropout hash."""
+    b = pl.program_id(0)
+    q = q_ref[0]  # (T, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    T, D = k.shape
+    dk = D // n_heads
+    prec = _prec_for(q.dtype)
+    for h in range(n_heads):
+        sl = slice(h * dk, (h + 1) * dk)
+        attn = _scores_and_attn(q[:, sl], k[:, sl], len_ref[b], scale, prec)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0], b, jnp.uint32(h), attn.shape, rate)
+            attn = jnp.where(keep, attn / (1.0 - rate), 0.0)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            attn.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_packed(len_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, s_attn, s_da, *,
+                       scale: float, rate: float, n_heads: int):
+    """Packed backward: per-head math of :func:`_bwd_kernel` with the two
+    (T, T) f32 intermediates in EXPLICIT scratch, reused across the static
+    head loop -- without the shared scratch, the unrolled loop's liveness
+    would double the (T, T) footprint and blow the VMEM scope at T=896."""
+    b = pl.program_id(0)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    T, D = k.shape
+    dk = D // n_heads
+    prec = _prec_for(q.dtype)
+    for h in range(n_heads):
+        sl = slice(h * dk, (h + 1) * dk)
+        s_attn[:] = _scores_and_attn(q[:, sl], k[:, sl], len_ref[b], scale,
+                                     prec)
+        s_da[:] = jax.lax.dot_general(
+            do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0], b, jnp.uint32(h),
+                              (T, T), rate)
+            inv = 1.0 / (1.0 - rate)
+            d = jnp.where(keep, s_attn[:] * inv, 0.0)
+            s_da[:] = jnp.where(keep, s_da[:] * inv, 0.0)
+        else:
+            d = s_attn[:]
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            d.astype(do.dtype), do[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(dv_ref.dtype)
+        t = jnp.sum(s_da[:] * s_attn[:], axis=-1, keepdims=True)
+        ds = (s_attn[:] * (s_da[:] - t)).astype(q.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale).astype(dk_ref.dtype)
+
+
+def _call_fwd_packed(q, k, v, lengths, seed, n_heads, rate, interpret):
+    B, T, D = q.shape
+    dk = D // n_heads
+    scale = 1.0 / float(np.sqrt(dk))
+    spec = pl.BlockSpec((1, T, D), lambda b, lens, sd: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale, rate=rate,
+                          n_heads=n_heads),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_heads * T * T * dk * 2,
+            bytes_accessed=4 * B * T * D * 4,
+            transcendentals=B * n_heads * T * T,
+        ),
+    )(lengths.astype(jnp.int32), seed, q, k, v)
+
+
+def _call_bwd_packed(q, k, v, do, lengths, seed, n_heads, rate, interpret):
+    B, T, D = q.shape
+    dk = D // n_heads
+    scale = 1.0 / float(np.sqrt(dk))
+    spec = pl.BlockSpec((1, T, D), lambda b, lens, sd: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        scratch_shapes=[pltpu.VMEM((T, T), jnp.float32),
+                        pltpu.VMEM((T, T), jnp.float32)],
+    )
+    sds = jax.ShapeDtypeStruct((B, T, D), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale, rate=rate,
+                          n_heads=n_heads),
+        grid_spec=grid_spec,
+        out_shape=[sds, sds, sds],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * n_heads * T * T * dk,
+            bytes_accessed=8 * B * T * D * 4,
+            transcendentals=B * n_heads * T * T,
+        ),
+    )(lengths.astype(jnp.int32), seed, q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_train_packed(q: Array, k: Array, v: Array,
+                                 lengths: Array, seed: Array, n_heads: int,
+                                 rate: float = 0.0,
+                                 interpret: bool = False) -> Array:
+    """(B, T, D) head-packed Q/K/V + (B,) lengths -> (B, T, D) attention
+    output, differentiable. The packed twin of :func:`fused_attention_train`
+    -- no (B,T,H,dk)<->(B,H,T,dk) transposes around the projections. Same
+    (seed, b, h) dropout hash, so packed and unpacked draw identical masks.
+    """
+    return _call_fwd_packed(q, k, v, lengths, seed, n_heads, rate, interpret)
+
+
+def _vjp_fwd_packed(q, k, v, lengths, seed, n_heads, rate, interpret):
+    o = _call_fwd_packed(q, k, v, lengths, seed, n_heads, rate, interpret)
+    return o, (q, k, v, lengths, seed)
+
+
+def _vjp_bwd_packed(n_heads, rate, interpret, res, do):
+    q, k, v, lengths, seed = res
+    dq, dk, dv = _call_bwd_packed(q, k, v, do.astype(q.dtype), lengths, seed,
+                                  n_heads, rate, interpret)
+    return dq, dk, dv, None, None
+
+
+fused_attention_train_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_attention_train(q: Array, k: Array, v: Array, lengths: Array,
                           seed: Array, rate: float = 0.0,
@@ -240,15 +402,30 @@ def mha_fused_train_apply(params, x: Array, lengths: Array, n_heads: int,
     dk = D // n_heads
     dt = current_compute_dtype() or x.dtype
 
+    seed = jax.random.randint(dropout_key, (1,), 0, np.iinfo(np.int32).max,
+                              dtype=jnp.int32)
+    from fastspeech2_tpu.ops import flags
+    from fastspeech2_tpu.parallel.sharding import current_tp_mesh
+
+    mesh = current_tp_mesh()
+    if (flags.FUSED_ATT_TRAIN_PACKED and T <= PACKED_MAX_T
+            and mesh is None):
+        # head-packed variant: the projection outputs feed the kernel in
+        # row-major (B, T, D) -- the 4 layout transposes per layer (and
+        # their backward mirrors) vanish. tp=1 only for now: the TP path
+        # keeps the head-dim-sharded (B, H, T, dk) layout below.
+        def projp(p):
+            return nn.linear(p, x, out_dtype=dt)
+
+        o = fused_attention_train_packed(
+            projp(params["q"]), projp(params["k"]), projp(params["v"]),
+            lengths, seed, n_heads, rate, interpret)
+        return nn.linear(params["out"], o, out_dtype=x.dtype)
+
     def proj(p):
         return nn.linear(p, x, out_dtype=dt).reshape(
             B, T, n_heads, dk).transpose(0, 2, 1, 3)
 
-    seed = jax.random.randint(dropout_key, (1,), 0, np.iinfo(np.int32).max,
-                              dtype=jnp.int32)
-    from fastspeech2_tpu.parallel.sharding import current_tp_mesh
-
-    mesh = current_tp_mesh()
     if mesh is not None:
         o = fused_attention_train_tp(
             proj(params["q"]), proj(params["k"]), proj(params["v"]),

@@ -82,6 +82,22 @@ def is_quantized(p: dict) -> bool:
     return isinstance(p, dict) and "q" in p
 
 
+def dequantize_linear_params(p: dict) -> dict:
+    """{"q", "s"[, "b"]} -> {"w" f32[, "b"]}: w = q * s (per-out-channel).
+
+    Used by the serving mega-kernels (models/encoder.py): attention weights
+    stay int8 in HBM and are expanded on the fly each call -- a few KB of
+    VPU work against the multi-MB activation streams -- so the int8 tier
+    keeps the fused [QKV->attention->out-proj->residual->LN] kernels instead
+    of falling back to the split path. Attention numerics under this scheme
+    are W8 (quantized weights, full-precision activations): strictly closer
+    to f32 than the W8A8 int8_linear chain."""
+    out = {"w": p["q"].astype(jnp.float32) * p["s"]}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
 def int8_linear(p: dict, x: Array, *, out_dtype=None) -> Array:
     xq, sx = dynamic_quantize(x)
     y = lax.dot_general(xq, p["q"],

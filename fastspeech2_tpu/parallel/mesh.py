@@ -70,12 +70,15 @@ def gather_to_host(tree, mesh: Mesh):
     return jax.tree.map(np.asarray, gathered)
 
 
-def shard_inference_fn(infer_fn, mesh: Mesh, n_replicated: int = 2):
-    """Jit an inference fn (*replicated_args, xs, ilens, alphas) -> outputs
-    with the batch axis sharded over 'data' and the first ``n_replicated``
-    args (params/state/vocoder-params pytrees) replicated. The batch size
-    must be a multiple of the mesh size; alphas is a per-row (B,) vector that
-    shards with the batch (traced, so no recompile per speed value)."""
+def shard_inference_fn(infer_fn, mesh: Mesh, n_replicated: int = 2,
+                       n_data: int = 3):
+    """Jit an inference fn (*replicated_args, *batch_args) -> outputs with
+    the batch axis sharded over 'data' and the first ``n_replicated`` args
+    (params/state/vocoder-params pytrees) replicated; the trailing ``n_data``
+    args (xs/ilens/alphas -- or hs/d_outs/ilens/alphas for the demand-sized
+    decode half) shard on their leading axis. The batch size must be a
+    multiple of the mesh size; alphas is a per-row (B,) vector that shards
+    with the batch (traced, so no recompile per speed value)."""
     if mesh.devices.size == 1:
         # no-op shardings on one device; committed in/out shardings cost a
         # per-leaf host round-trip per call on tunneled backends
@@ -85,6 +88,6 @@ def shard_inference_fn(infer_fn, mesh: Mesh, n_replicated: int = 2):
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         infer_fn,
-        in_shardings=(repl,) * n_replicated + (data, data, data),
+        in_shardings=(repl,) * n_replicated + (data,) * n_data,
         out_shardings=data,
     )

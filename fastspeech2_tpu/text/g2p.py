@@ -45,25 +45,51 @@ _LTS_SINGLE = {
 
 def letter_to_sound(word: str) -> List[str]:
     """Greedy rule-based English LTS for lexicon misses. Deliberately simple:
-    functional pronunciation, not g2p_en quality."""
+    functional pronunciation, not g2p_en quality. Measured PER vs the bundled
+    lexicon's pronunciations when serving held-out words:
+    scripts/measure_g2p.py (PARITY.md 'Hermetic G2P quality')."""
     w = "".join(ch for ch in word.lower() if ch.isalpha())
     if not w:
         return []
-    # magic e ("make", "time"): drop the silent final e and lengthen the
-    # vowel before the closing consonant -- not for short words like "the"
+    # silent initial clusters: knife/knew -> N, write -> R, gnome -> N
+    if w.startswith("kn") or w.startswith("gn"):
+        w = w[1:]
+    elif w.startswith("wr"):
+        w = w[1:]
+    # magic e ("make", "time", "ice"): drop the silent final e and lengthen
+    # the vowel before the closing consonant -- not for "the"-like words
+    # where the letter before the consonant is not a vowel
     long_vowel = {"a": "EY1", "e": "IY1", "i": "AY1", "o": "OW1", "u": "UW1"}
     magic = -1
-    if (len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou"
+    soft_final = False  # final c/g had a following (now dropped) silent e
+    if (len(w) > 2 and w.endswith("e") and w[-2] not in "aeiou"
             and w[-3] in "aeiou"):
         magic = len(w) - 3
         w = w[:-1]
+        soft_final = True
     elif len(w) > 3 and w.endswith("e") and w[-2] not in "aeiou":
         w = w[:-1]
+        soft_final = True
     phones: List[str] = []
     i = 0
     while i < len(w):
         if i == magic:
             phones.append(long_vowel[w[i]])
+            i += 1
+            continue
+        # doubled consonant letters sound once (scissors, happen)
+        if (i > 0 and w[i] == w[i - 1] and w[i] not in "aeiou"
+                and w[i] != magic):
+            i += 1
+            continue
+        # soft c/g: c before e/i/y -> S (ice, city); final -ge -> JH (age)
+        if w[i] == "c" and (i + 1 < len(w) and w[i + 1] in "eiy"
+                            or (i == len(w) - 1 and soft_final)):
+            phones.append("S")
+            i += 1
+            continue
+        if w[i] == "g" and i == len(w) - 1 and soft_final:
+            phones.append("JH")
             i += 1
             continue
         for pat, ph in _LTS_MULTI:

@@ -171,11 +171,22 @@ def main():
         return 2 * (k * D * H + H * D)
 
     # the attention FLOP/byte model must match the kernel variant that
-    # actually ran: the QKV fold is flag-gated (ops/flags.py) and int8
-    # params force the split path (models/encoder.py attn_dense guard)
+    # actually ran: the QKV fold is flag-gated (ops/flags.py), engages only
+    # on post-LN configs (pre-LN keeps the +res kernel), and int8 params
+    # force the split path (models/encoder.py attn_dense guard)
     from fastspeech2_tpu.ops import flags
 
-    qkv = bool(flags.FUSED_ATT_QKV)
+    params = fnargs[0]
+    # dense OR fully-quantized attention both run the QKV fold now (int8
+    # weight tiles dequantize on the fly, models/encoder.py); only a
+    # partially quantized layer falls to the split path
+    fold_ok = all(
+        all("w" in layer["attn"][k_] for k_ in ("q", "k", "v", "out"))
+        or all("q" in layer["attn"][k_] for k_ in ("q", "k", "v", "out"))
+        for stack in ("encoder", "decoder")
+        for layer in params[stack]["layers"])
+    post_ln = not (m.encoder_normalize_before or m.decoder_normalize_before)
+    qkv = bool(flags.FUSED_ATT_QKV) and fold_ok and post_ln
     attn_label = "attention+qkv+res+LN" if qkv else "attention+res+LN"
 
     # encoder kernels (token axis: lens = ilens, pad T=128)

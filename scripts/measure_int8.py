@@ -108,6 +108,30 @@ def main():
         out[name]["frame_drift_vs_f32"] = int(drift)
     out["int8_vs_bf16_speedup"] = round(
         out["int8"]["mel_frames_per_s"] / out["bf16"]["mel_frames_per_s"], 3)
+
+    # many-model consolidation (VERDICT r4 next #4): bytes per RESIDENT model
+    # instance, the int8 tier's memory pitch, measured -- analytically from
+    # the pytrees and, when the backend exposes allocator stats, as the
+    # on-device bytes_in_use delta of 4 fresh copies.
+    def nbytes(tree):
+        return sum(int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+                   for x in jax.tree.leaves(tree))
+
+    out["model_bytes_f32"] = nbytes(params)
+    out["model_bytes_int8"] = nbytes(params_q)
+    out["consolidation_ratio"] = round(nbytes(params) / nbytes(params_q), 3)
+    try:
+        dev = jax.devices()[0]
+        base = dev.memory_stats()["bytes_in_use"]
+        copies = [jax.tree.map(
+            lambda x: jax.device_put(np.array(x, copy=True)), params_q)
+            for _ in range(4)]
+        jax.block_until_ready(copies)
+        out["int8_bytes_in_use_per_copy"] = int(
+            (dev.memory_stats()["bytes_in_use"] - base) / 4)
+        del copies
+    except Exception as e:
+        out["memory_stats"] = f"unavailable: {type(e).__name__}"
     out["device"] = str(jax.devices()[0].device_kind)
     print(json.dumps(out, indent=1))
 

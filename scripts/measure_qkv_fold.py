@@ -24,9 +24,13 @@ from profile_serving import build_workload  # noqa: E402
 def build_variant(qkv: bool):
     from fastspeech2_tpu.ops import flags
 
+    prev = flags.FUSED_ATT_QKV
     flags.FUSED_ATT_QKV = qkv  # trace-time branch: force the trace NOW,
-    infer, args = build_workload()  # while the flag holds this value
-    jax.block_until_ready(infer(*args))
+    try:
+        infer, args = build_workload()  # while the flag holds this value
+        jax.block_until_ready(infer(*args))
+    finally:
+        flags.FUSED_ATT_QKV = prev  # don't leak the override to later traces
     return infer, args
 
 

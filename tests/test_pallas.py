@@ -609,6 +609,47 @@ def test_fused_attention_qkv_res_ln_matches_projected_kernel(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_qkv_fold_vmem_guard(rng, monkeypatch):
+    """The QKV fold's resident VMEM scales with T; shapes past the budget
+    must fall back to the split [attn+res+LN] kernel instead of surfacing a
+    Mosaic compile error from a lazy serving re-bucket (ADVICE r4 #1)."""
+    from fastspeech2_tpu.ops.pallas import attention as A
+
+    # default ladder (D=384 bf16): max_frames=2048 stays on the fold, a
+    # user-raised 4096 re-bucket falls back
+    assert A._qkv_fold_vmem_ok(2048, 384, jnp.bfloat16)
+    assert not A._qkv_fold_vmem_ok(4096, 384, jnp.bfloat16)
+    # f32 compute needs the fallback earlier (scratches double)
+    assert not A._qkv_fold_vmem_ok(2048, 384, jnp.float32)
+
+    # dispatch: when the guard rejects, mha_fused_block_ln_apply must route
+    # through the split path and produce identical results
+    B, T, D, H = 2, 32, 64, 2
+    g = rng
+    params = init_mha(jax.random.PRNGKey(3), D, dtype=jnp.float32)
+    p_ln = {"g": jnp.ones((D,), jnp.float32),
+            "b": jnp.zeros((D,), jnp.float32)}
+    x = jnp.asarray(g.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 9], jnp.int32)
+
+    fold = A.mha_fused_block_ln_apply(params, p_ln, x, lengths, H,
+                                      interpret=True)
+    split_calls = []
+    real_split = A.fused_attention_packed_res_ln
+
+    def spy(*a, **k):
+        split_calls.append(1)
+        return real_split(*a, **k)
+
+    monkeypatch.setattr(A, "fused_attention_packed_res_ln", spy)
+    monkeypatch.setattr(A, "_qkv_fold_vmem_ok", lambda *a: False)
+    via_split = A.mha_fused_block_ln_apply(params, p_ln, x, lengths, H,
+                                           interpret=True)
+    assert split_calls, "VMEM guard did not route to the split kernel"
+    np.testing.assert_allclose(np.asarray(via_split), np.asarray(fold),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_ffn_block_post_matches_xla_chain(rng):
     """Post-LN FFT-block tail kernel == mask -> conv-FFN -> +residual -> LN
     as separate XLA ops (ffn_fused_apply is itself oracle-tested above)."""

@@ -102,3 +102,76 @@ def test_mha_fused_train_apply_matches_xla_at_rate0(rng):
     for name in ("q", "k", "v", "out"):
         assert np.isfinite(np.asarray(g[name]["w"])).all()
         assert float(jnp.abs(g[name]["w"]).max()) > 0.0
+
+
+def test_train_attention_packed_matches_unpacked(rng):
+    """The head-packed training kernel (row-major (B, T, D), heads as
+    D-slices -- no layout transposes) must match the (B, H, T, dk) kernel
+    bit-for-bit in forward AND gradients, including the shared (seed, b, h)
+    dropout hash, for rate 0 and rate > 0."""
+    from fastspeech2_tpu.ops.pallas.attention_train import (
+        fused_attention_train_packed)
+
+    B, H, T, dk = 2, 2, 64, 8
+    D = H * dk
+    q, k, v = _qkv(rng, B=B, H=H, T=T, dk=dk)
+    lengths = jnp.asarray([64, 37], jnp.int32)
+    seed = jnp.asarray([991], jnp.int32)
+    do = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+
+    def pack(t):  # (B, H, T, dk) -> (B, T, H*dk)
+        return jnp.transpose(t, (0, 2, 1, 3)).reshape(B, T, D)
+
+    for rate in (0.0, 0.3):
+        packed = lambda *a: fused_attention_train_packed(
+            *a, lengths, seed, H, rate, True)
+        unpacked = lambda *a: pack(fused_attention_train(
+            *a, lengths, seed, rate, True))
+        got = packed(pack(q), pack(k), pack(v))
+        want = unpacked(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+        g_p = jax.grad(lambda a, b, c: jnp.vdot(packed(a, b, c), do),
+                       (0, 1, 2))(pack(q), pack(k), pack(v))
+        g_u = jax.grad(lambda a, b, c: jnp.vdot(unpacked(a, b, c), do),
+                       (0, 1, 2))(q, k, v)
+        for a, b in zip(g_p, g_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(pack(b)),
+                                       rtol=1e-5, atol=1e-6)
+        # padded rows: zero output and exactly-zero grads
+        assert np.all(np.asarray(got)[1, 37:] == 0.0)
+        for g in g_p:
+            assert np.all(np.asarray(g)[1, 37:] == 0.0)
+
+
+def test_mha_fused_train_apply_packed_dispatch(rng, monkeypatch):
+    """mha_fused_train_apply routes through the packed kernel when the flag
+    is on (default) and produces the same output either way at rate=0."""
+    from fastspeech2_tpu.ops import flags
+    from fastspeech2_tpu.ops.pallas import attention_train as AT
+
+    B, T, D, H = 2, 32, 32, 2
+    params = init_mha(jax.random.PRNGKey(0), D)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lengths = jnp.asarray([32, 19], jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    calls = []
+    real = AT.fused_attention_train_packed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(AT, "fused_attention_train_packed", spy)
+    monkeypatch.setattr(flags, "FUSED_ATT_TRAIN_PACKED", True)
+    out_p = mha_fused_train_apply(params, x, lengths, H, key, 0.0,
+                                  interpret=True)
+    assert calls, "packed kernel did not engage"
+
+    monkeypatch.setattr(flags, "FUSED_ATT_TRAIN_PACKED", False)
+    out_u = mha_fused_train_apply(params, x, lengths, H, key, 0.0,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               rtol=1e-6, atol=1e-7)

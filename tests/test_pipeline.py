@@ -542,3 +542,77 @@ def test_exact_fit_is_not_saturation(small_model):
     assert synth3._grow_l_pad(256, demand=2000) == 2048
     assert synth3._grow_l_pad(256, demand=500) == 512
     assert synth3._grow_l_pad(256, demand=999999) == 4096
+
+
+def test_demand_sized_matches_heuristic_path(small_model):
+    """Demand-sized serving (encode -> exact demand -> decode on the
+    smallest covering rung) returns row-identical mels/lengths to the
+    single-program heuristic-buffer path (exact-unpadded inference is
+    padding-invariant), including per-row alpha. VERDICT r4 next #1."""
+    from fastspeech2_tpu.text import phonemes_to_sequence
+
+    cfg, model, params, state = small_model
+    phon = ["HH AH0 L OW1", "W ER1 L D pau Y EH1 S",
+            "DH IH1 S IH1 Z AH0 L AO1 NG G ER0 S EH1 N T AH0 N S"]
+    seqs = [np.asarray(phonemes_to_sequence(p), np.int32) for p in phon]
+    alpha = np.asarray([1.0, 1.4, 0.8], np.float32)
+
+    heur = Synthesizer(model, params, state, demand_sized=False)
+    dem = Synthesizer(model, params, state, demand_sized=True)
+    mel_h, lens_h, trunc_h = heur.mel_from_token_batch(
+        seqs, alpha, return_truncated=True)
+    mel_d, lens_d, trunc_d = dem.mel_from_token_batch(
+        seqs, alpha, return_truncated=True)
+    assert (lens_h == lens_d).all()
+    assert not trunc_h.any() and not trunc_d.any()
+    for i in range(len(seqs)):
+        np.testing.assert_allclose(mel_d[i, : lens_d[i]],
+                                   mel_h[i, : lens_h[i]], rtol=1e-5,
+                                   atol=1e-5)
+    # the decode buffer really was demand-sized: one rung, >= every length
+    assert all(l <= mel_d.shape[1] for l in lens_d)
+    assert mel_d.shape[1] == 256  # smallest rung covers this tiny batch
+    assert dem._jitted == {}  # single-program path never engaged
+
+
+def test_demand_sized_truncation_flag(small_model):
+    """Rows whose exact demand exceeds max_frames are flagged truncated (no
+    grow ladder exists on the demand-sized path -- the rung is exact)."""
+    from fastspeech2_tpu.text import phonemes_to_sequence
+
+    cfg, model, params, state = small_model
+    long = " ".join(["DH IH1 S IH1 Z AH0 T EH1 S T"] * 12)
+    seqs = [np.asarray(phonemes_to_sequence(long), np.int32),
+            np.asarray(phonemes_to_sequence("N OW1"), np.int32)]
+    synth = Synthesizer(model, params, state, demand_sized=True,
+                        max_frames=256)
+    mel, lens, trunc = synth.mel_from_token_batch(seqs, 4.0,
+                                                  return_truncated=True)
+    assert trunc[0] and not trunc[1]
+    assert lens[0] == 256  # clipped to the ceiling
+
+
+def test_demand_sized_decode_split(small_model):
+    """When the batch's demand spread crosses a rung boundary, the decode
+    dispatches as TWO demand-sorted sub-batches on different rungs
+    (measured -7.9% vs the heuristic buffer on v5e, PARITY.md r5); rows
+    must still match the heuristic single-program path exactly."""
+    from fastspeech2_tpu.text import phonemes_to_sequence
+
+    cfg, model, params, state = small_model
+    long = " ".join(["DH IH1 S IH1 Z AH0 T EH1 S T"] * 8)
+    phon = ["HH AH0 L OW1", "N OW1", long, long + " pau Y EH1 S"]
+    seqs = [np.asarray(phonemes_to_sequence(p), np.int32) for p in phon]
+    alpha = np.asarray([1.0, 1.0, 3.0, 3.0], np.float32)
+
+    heur = Synthesizer(model, params, state, demand_sized=False)
+    dem = Synthesizer(model, params, state, demand_sized=True)
+    mel_h, lens_h = heur.mel_from_token_batch(seqs, alpha)
+    mel_d, lens_d = dem.mel_from_token_batch(seqs, alpha)
+    assert (lens_h == lens_d).all()
+    for i in range(len(seqs)):
+        np.testing.assert_allclose(mel_d[i, : lens_d[i]],
+                                   mel_h[i, : lens_h[i]], rtol=1e-5,
+                                   atol=1e-5)
+    rungs = {r for _, r in dem._jitted_dec}
+    assert len(rungs) >= 2, rungs  # the split really took two rungs

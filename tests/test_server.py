@@ -206,14 +206,16 @@ def test_batcher_direct():
 def test_serving_batch_pow2_padding_and_warmup():
     """Micro-batches pad to the next power of two so a varying request count
     reuses one traced shape per pow2 bucket (not one per B), and warmup()
-    pre-populates the cache so the first real call doesn't trace."""
+    pre-populates the cache so the first real call doesn't trace. Checked on
+    the heuristic single-program path; the demand-sized twin below covers
+    the encode/decode caches."""
     cfg = Config(model=ModelConfig(
         adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
         dunits=64, postnet_layers=2, postnet_chans=16,
         duration_predictor_chans=16))
     model = FastSpeech2(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
-    synth = Synthesizer(model, params, state)
+    synth = Synthesizer(model, params, state, demand_sized=False)
 
     def seqs(b):
         return [np.ones((8,), np.int32)] * b
@@ -226,7 +228,7 @@ def test_serving_batch_pow2_padding_and_warmup():
     synth.mel_from_token_batch(seqs(5))
     assert fn._cache_size() == 2  # B=5 -> B_pad=8: one new trace
 
-    synth2 = Synthesizer(model, params, state)
+    synth2 = Synthesizer(model, params, state, demand_sized=False)
     assert synth2.warmup(batch_sizes=(1,), token_lens=(8,)) == 1
     (fn2,) = synth2._jitted.values()
     before = fn2._cache_size()
@@ -235,13 +237,50 @@ def test_serving_batch_pow2_padding_and_warmup():
 
     # warmup(1, max_batch) covers EVERY pow2 bucket in between, so
     # intermediate request counts (B=3 -> B_pad=4) also skip the trace
-    synth3 = Synthesizer(model, params, state)
+    synth3 = Synthesizer(model, params, state, demand_sized=False)
     assert synth3.warmup(batch_sizes=(1, 8), token_lens=(8,)) == 4  # 1,2,4,8
     (fn3,) = synth3._jitted.values()
     before = fn3._cache_size()
     for b in (2, 3, 5, 7):  # every intermediate bucket already traced
         synth3.mel_from_token_batch(seqs(b))
     assert fn3._cache_size() == before
+
+
+def test_demand_sized_pow2_padding_and_warmup():
+    """The demand-sized (default) path keeps the same jit-cache discipline:
+    pow2 B-padding shares encode traces across request counts, and warmup
+    pre-compiles every 256-frame decode rung up to the heuristic ceiling so
+    no live request ever cold-compiles in the delivery thread."""
+    cfg = Config(model=ModelConfig(
+        adim=32, ddim=32, aheads=2, elayers=1, dlayers=1, eunits=64,
+        dunits=64, postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16))
+    model = FastSpeech2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    synth = Synthesizer(model, params, state, demand_sized=True)
+
+    def seqs(b):
+        return [np.ones((8,), np.int32)] * b
+
+    mel, lens = synth.mel_from_token_batch(seqs(3))
+    assert mel.shape[0] == 3 and lens.shape == (3,)
+    synth.mel_from_token_batch(seqs(4))
+    (enc,) = synth._jitted_enc.values()
+    assert enc._cache_size() == 1  # B=3 and B=4 share the B_pad=4 trace
+    assert not synth._jitted  # single-program path never engaged
+    synth.mel_from_token_batch(seqs(5))
+    assert enc._cache_size() == 2  # B=5 -> B_pad=8: one new trace
+
+    # warmup: 1 full call + one dec compile per 256-rung up to the
+    # frames_per_token ceiling (t_pad=32 x 12 = 384 -> rungs 256, 512)
+    synth2 = Synthesizer(model, params, state, demand_sized=True)
+    assert synth2.warmup(batch_sizes=(1,), token_lens=(8,)) == 3
+    assert set(synth2._jitted_dec) >= {(32, 256), (32, 512)}
+    # a live request whose demand lands on a warmed rung traces nothing new
+    dec = synth2._jitted_dec[(32, 256)]
+    before = dec._cache_size()
+    synth2.mel_from_token_batch(seqs(1))
+    assert dec._cache_size() == before
 
 
 def test_synthesizer_mesh_matches_single_device():
