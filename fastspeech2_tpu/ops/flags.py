@@ -33,10 +33,12 @@ FUSED_ATT_QKV: bool = os.environ.get("FS2_FUSED_ATT_QKV", "on") != "off"
 #: fused_attention_train_packed): Q/K/V stay in row-major (B, T, D) with
 #: heads as D-slices, eliminating the 4 layout transposes per layer (plus
 #: backward mirrors) the (B, H, T, dk) kernels need around the projections.
-#: FS2_FUSED_ATT_TRAIN_PACKED=on enables (default off until the device A/B
-#: lands -- scripts/measure_train_packed.py; keep-or-revert in PARITY.md).
+#: Measured on v5e at the full-size train step (B=16, T=128, L=896):
+#: 18.84 -> 18.05 ms/step (-4.2%, region clock, bench --train flag A/B;
+#: op-level interleaved A/B scripts/measure_train_packed.py agreed at
+#: -4.1%), KEPT (PARITY.md r5). FS2_FUSED_ATT_TRAIN_PACKED=off disables.
 FUSED_ATT_TRAIN_PACKED: bool = (
-    os.environ.get("FS2_FUSED_ATT_TRAIN_PACKED", "off") == "on")
+    os.environ.get("FS2_FUSED_ATT_TRAIN_PACKED", "on") != "off")
 
 #: fused TRAINING attention half (ops/pallas/attention_train.py:
 #: attn_block_train): QKV projections + attention/attention-dropout + out

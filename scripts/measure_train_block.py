@@ -28,8 +28,9 @@ def build_step(block: bool):
     prev = flags.FUSED_ATT_TRAIN_BLOCK
     flags.FUSED_ATT_TRAIN_BLOCK = block  # trace-time branch
     try:
-        # packed flag stays at its committed default inside _build_step(False)
-        return _build_step(False)
+        # baseline = the kept r5 default (packed train attention ON); the
+        # block kernel supersedes the attention path entirely when engaged
+        return _build_step(True)
     finally:
         flags.FUSED_ATT_TRAIN_BLOCK = prev
 
@@ -41,10 +42,10 @@ def main():
     args = ap.parse_args()
     print(f"backend={jax.default_backend()} "
           f"device={jax.devices()[0].device_kind}")
-    variants = {"split": build_step(False), "block": build_step(True)}
+    variants = {"packed": build_step(False), "block": build_step(True)}
     results = {n: [] for n in variants}
     for r in range(args.rounds):
-        order = ["split", "block"] if r % 2 == 0 else ["block", "split"]
+        order = ["packed", "block"] if r % 2 == 0 else ["block", "packed"]
         for n in order:
             step_fn, ts, batch = variants[n]
             ms, ts = device_step_ms(step_fn, ts, batch, args.reps,
@@ -52,8 +53,8 @@ def main():
             variants[n] = (step_fn, ts, batch)
             results[n].append(ms)
             print(f"  round {r} {n:5s}: {ms:.3f} ms/step (device)")
-    s, b = np.median(results["split"]), np.median(results["block"])
-    print(f"median split={s:.3f} ms  block={b:.3f} ms  "
+    s, b = np.median(results["packed"]), np.median(results["block"])
+    print(f"median packed={s:.3f} ms  block={b:.3f} ms  "
           f"delta={100 * (b - s) / s:+.1f}%")
 
 
