@@ -69,16 +69,19 @@ def _scores_and_attn(q, k, length, scale, prec):
     return _masked_softmax(s, valid)
 
 
-def _keep_mask(seed, b, h, shape, rate):
+def _keep_mask(seed, b, h, shape, rate, row0=0):
     """Counter-based dropout mask: keep where hash >= rate * 2^32.
 
     hash = lowbias32(idx ^ lowbias32(seed ^ golden*(b*1024 + h))) -- a pure
     function of position, so forward/backward agree bit-for-bit with no
-    stored mask, and it lowers on every backend (unlike pltpu.prng_*)."""
+    stored mask, and it lowers on every backend (unlike pltpu.prng_*).
+    row0: global row offset of this (shape[0], shape[1]) tile -- a q-blocked
+    kernel passes qi*block_q so its mask slices the whole-(T, T) mask."""
     from fastspeech2_tpu.ops.nn import _hash_mix as mix
 
     T0, T1 = shape
-    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(T1)
+    idx = ((jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            + jnp.asarray(row0, jnp.uint32)) * np.uint32(T1)
            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     key = mix(seed.astype(jnp.uint32)
               ^ (np.uint32(0x9E3779B9)
@@ -379,52 +382,76 @@ fused_attention_train_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
 # ops.nn._key_to_seed of the same key the XLA path would consume.
 
 
-def _residual_keep(seed_res, b, T: int, D: int, rate: float):
-    """nn._hash_keep_mask((B, T, D)) for row-block b: keep where
-    mix(global_idx ^ mix(seed)) clears the threshold."""
+def _residual_keep(seed_res, b, T: int, D: int, rate: float,
+                   block=None):
+    """nn._hash_keep_mask((B, T, D)) sliced to this program's tile: keep
+    where mix(global_idx ^ mix(seed)) clears the threshold. ``block``:
+    optional (rows, row0) for a q-blocked tile (default: the whole (T, D)
+    row)."""
     from fastspeech2_tpu.ops.nn import _hash_mix as mix
 
+    rows, row0 = block if block is not None else (T, 0)
     idx = (b.astype(jnp.uint32) * np.uint32(T * D)
-           + jax.lax.broadcasted_iota(jnp.uint32, (T, D), 0) * np.uint32(D)
-           + jax.lax.broadcasted_iota(jnp.uint32, (T, D), 1))
+           + (jax.lax.broadcasted_iota(jnp.uint32, (rows, D), 0)
+              + jnp.asarray(row0, jnp.uint32)) * np.uint32(D)
+           + jax.lax.broadcasted_iota(jnp.uint32, (rows, D), 1))
     bits = mix(idx ^ mix(seed_res.astype(jnp.uint32)))
     thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
     return bits >= thresh
 
 
 def _block_fwd_kernel(len_ref, seeds_ref, x_ref, wq_ref, wk_ref, wv_ref,
-                      bqkv_ref, wo_ref, bo_ref, g_ref, be_ref, o_ref, o_scr,
-                      *, scale: float, rate_att: float, rate_res: float,
-                      n_heads: int, eps: float):
+                      bqkv_ref, wo_ref, bo_ref, g_ref, be_ref, o_ref,
+                      k_s, v_s, o_scr, *, scale: float, rate_att: float,
+                      rate_res: float, n_heads: int, eps: float,
+                      block_q: int):
+    """Query-blocked (grid (B, T//bq)) so the f32 score tiles are (bq, T),
+    not (T, T): the whole-T variant exceeded the 16 MB scoped-VMEM limit at
+    T=896 by 2 MB (Mosaic stack OOM at compile). K/V are projected into
+    scratch at each row's first q-block and stay resident (the TPU grid is
+    sequential), exactly like the serving QKV-fold kernel. Every block
+    computes (no dead-block skip): padded rows must still see
+    LN(x + drop(bo)) like the XLA chain."""
     from fastspeech2_tpu.ops.pallas.common import ln_tile
 
     b = pl.program_id(0)
+    qi = pl.program_id(1)
     length = len_ref[b]
-    x = x_ref[0]  # (T, D) f32
     cd = wq_ref.dtype
     prec = _prec_for(cd)
-    T, D = x.shape
+    T, D = k_s.shape
     dk = D // n_heads
-    xc = x.astype(cd)
+    row0 = qi * block_q
 
-    def proj(w_ref, bi):
+    def proj(xc, w_ref, bi):
         y = jax.lax.dot_general(
             xc, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec).astype(cd)
         return (y.astype(jnp.float32) + bqkv_ref[bi:bi + 1]).astype(cd)
 
-    q = proj(wq_ref, 0)
-    k = proj(wk_ref, 1)
-    v = proj(wv_ref, 2)
+    @pl.when(qi == 0)
+    def _project_kv():
+        xc = x_ref[0].astype(cd)  # (T, D)
+        k_s[:] = proj(xc, wk_ref, 1)
+        v_s[:] = proj(xc, wv_ref, 2)
+
+    res = x_ref[0, pl.ds(row0, block_q)]  # (bq, D) f32
+    q = proj(res.astype(cd), wq_ref, 0)
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
+    valid = (row < length) & (col < length)
     for h in range(n_heads):
         sl = slice(h * dk, (h + 1) * dk)
-        attn = _scores_and_attn(q[:, sl], k[:, sl], length, scale, prec)
+        s = jax.lax.dot_general(
+            q[:, sl], k_s[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        attn = _masked_softmax(s, valid)
         if rate_att > 0.0:
-            keep = _keep_mask(seeds_ref[0], b, jnp.uint32(h), (T, T),
-                              rate_att)
+            keep = _keep_mask(seeds_ref[0], b, jnp.uint32(h), (block_q, T),
+                              rate_att, row0=row0)
             attn = jnp.where(keep, attn / (1.0 - rate_att), 0.0)
         o_scr[:, sl] = jax.lax.dot_general(
-            attn.astype(cd), v[:, sl], (((1,), (0,)), ((), ())),
+            attn.astype(cd), v_s[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec).astype(cd)
     # out projection: nn.linear bit-pattern (f32 accum -> cd -> f32 + bias)
     p = jax.lax.dot_general(
@@ -432,36 +459,43 @@ def _block_fwd_kernel(len_ref, seeds_ref, x_ref, wq_ref, wk_ref, wv_ref,
         preferred_element_type=jnp.float32,
         precision=prec).astype(cd).astype(jnp.float32) + bo_ref[0]
     if rate_res > 0.0:
-        keep2 = _residual_keep(seeds_ref[1], b, T, D, rate_res)
+        keep2 = _residual_keep(seeds_ref[1], b, T, D, rate_res,
+                               block=(block_q, row0))
         p = jnp.where(keep2, p / (1.0 - rate_res), 0.0)
-    o_ref[0] = ln_tile(x + p, g_ref, be_ref, eps).astype(o_ref.dtype)
+    o_ref[0] = ln_tile(res + p, g_ref, be_ref, eps).astype(o_ref.dtype)
 
 
 def _call_block_fwd(x, wq, wk, wv, bqkv, wo, bo, g, be, lengths, seeds,
                     n_heads, rate_att, rate_res, eps, interpret):
+    from fastspeech2_tpu.ops.pallas.attention import _pick_block_q_adaptive
+
     B, T, D = x.shape
     dk = D // n_heads
     scale = 1.0 / float(np.sqrt(dk))
     cd = wq.dtype
-    xspec = pl.BlockSpec((1, T, D), lambda b, lens, sd: (b, 0, 0),
+    bq = _pick_block_q_adaptive(T)
+    xspec = pl.BlockSpec((1, T, D), lambda b, i, lens, sd: (b, 0, 0),
                          memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((D, D), lambda b, lens, sd: (0, 0),
+    ospec = pl.BlockSpec((1, bq, D), lambda b, i, lens, sd: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    b3spec = pl.BlockSpec((3, D), lambda b, lens, sd: (0, 0),
+    wspec = pl.BlockSpec((D, D), lambda b, i, lens, sd: (0, 0),
+                         memory_space=pltpu.VMEM)
+    b3spec = pl.BlockSpec((3, D), lambda b, i, lens, sd: (0, 0),
                           memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, D), lambda b, lens, sd: (0, 0),
+    bspec = pl.BlockSpec((1, D), lambda b, i, lens, sd: (0, 0),
                          memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(B, T // bq),
         in_specs=[xspec, wspec, wspec, wspec, b3spec, wspec, bspec, bspec,
                   bspec],
-        out_specs=xspec,
-        scratch_shapes=[pltpu.VMEM((T, D), cd)],
+        out_specs=ospec,
+        scratch_shapes=[pltpu.VMEM((T, D), cd), pltpu.VMEM((T, D), cd),
+                        pltpu.VMEM((bq, D), cd)],
     )
     kernel = functools.partial(
         _block_fwd_kernel, scale=scale, rate_att=rate_att,
-        rate_res=rate_res, n_heads=n_heads, eps=eps)
+        rate_res=rate_res, n_heads=n_heads, eps=eps, block_q=bq)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

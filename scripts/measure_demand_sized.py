@@ -161,4 +161,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()  # reuse bench-compiled steps
     main()
