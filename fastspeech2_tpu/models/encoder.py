@@ -311,28 +311,16 @@ def encoder_apply(
 
             att = mha_fused_apply(layer["attn"], y, lengths, cfg.attention_heads)
             next(r)
-        elif (use_fused_train and not cfg.normalize_before
-              and not cfg.concat_after and attn_dense
-              and flags.FUSED_ATT_TRAIN_BLOCK
-              and x.shape[1] <= 896):  # whole-T VMEM budget (PACKED_MAX_T)
-            # training twin of the serving QKV fold (VERDICT r4 next #3):
-            # the COMPLETE post-LN attention half -- QKV projections,
-            # attention + attention-dropout, out projection, residual
-            # dropout, residual add, LayerNorm -- as ONE fused forward with
-            # XLA-recompute backward (attn_block_train custom VJP). The two
-            # keys consumed here are the exact ones the split path uses for
-            # attention dropout and residual dropout, and the hash masks are
-            # bit-identical to that path's.
-            from fastspeech2_tpu.ops.pallas.attention_train import (
-                mha_fused_train_block_apply)
-
-            x = mha_fused_train_block_apply(
-                layer["attn"], layer["norm1"], x, lengths,
-                cfg.attention_heads, next(r), next(r),
-                cfg.attention_dropout_rate, cfg.dropout_rate)
-            ran_fused_res = True  # post-LN applied in-kernel
-            att = None
         elif use_fused_train:
+            # A fused training attention-HALF kernel (QKV + attention +
+            # out-proj + residual dropout + residual + post-LN in one
+            # forward, XLA-recompute backward via custom VJP) was built,
+            # verified bit-equivalent, measured at the full-size step and
+            # REJECTED: 36.6 -> 40.2 ms/step (+9.8%). The train step is
+            # compute-bound (convs at the MXU roofline), so recompute-
+            # backward trades HBM it doesn't need for FLOPs it can't afford
+            # -- the backward re-ran a full attention forward plus three
+            # projections to save ~0.5 ms of forward glue. PARITY.md r5.
             from fastspeech2_tpu.ops.pallas.attention_train import (
                 mha_fused_train_apply)
 

@@ -40,15 +40,6 @@ FUSED_ATT_QKV: bool = os.environ.get("FS2_FUSED_ATT_QKV", "on") != "off"
 FUSED_ATT_TRAIN_PACKED: bool = (
     os.environ.get("FS2_FUSED_ATT_TRAIN_PACKED", "on") != "off")
 
-#: fused TRAINING attention half (ops/pallas/attention_train.py:
-#: attn_block_train): QKV projections + attention/attention-dropout + out
-#: projection + residual dropout + residual + post-LN LayerNorm as ONE
-#: forward kernel with XLA-recompute backward -- the training twin of the
-#: serving QKV fold. Post-LN, tp=1, dense params, T <= PACKED_MAX_T.
-#: FS2_FUSED_ATT_TRAIN_BLOCK=on enables (default off until the device A/B
-#: lands -- scripts/measure_train_block.py; keep-or-revert in PARITY.md).
-FUSED_ATT_TRAIN_BLOCK: bool = (
-    os.environ.get("FS2_FUSED_ATT_TRAIN_BLOCK", "off") == "on")
 
 #: size the serving frame buffer from the EXACT per-batch frame demand
 #: instead of the frames-per-token heuristic: the serving call splits into

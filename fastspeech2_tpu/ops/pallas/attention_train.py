@@ -364,274 +364,6 @@ def _vjp_bwd_packed(n_heads, rate, interpret, res, do):
 fused_attention_train_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
 
 
-# -- fused post-LN attention half for TRAINING --------------------------------
-#
-# Forward: ONE kernel computes the whole attention half of a post-LN FFT
-# block -- QKV projections -> masked-softmax attention (+ in-kernel hash
-# attention-dropout) -> out projection -> residual dropout -> +residual ->
-# LayerNorm -- reading the block input x once (the training twin of the
-# serving QKV fold, VERDICT r4 next #3). Backward: recompute with plain
-# XLA ops + the existing packed attention fwd/bwd kernels via custom_vjp --
-# no monster backward kernel, flash-style recompute instead of stored
-# q/k/v/o/z residuals (less fwd HBM write traffic, more bwd FLOPs; composes
-# with per-block jax.checkpoint, which replays this fwd anyway).
-#
-# Dropout masks are BIT-IDENTICAL to the XLA path's: attention dropout uses
-# the per-(seed, b, h) hash of fused_attention_train; residual dropout
-# replicates ops.nn._hash_keep_mask's global-linear-index hash, seeded by
-# ops.nn._key_to_seed of the same key the XLA path would consume.
-
-
-def _residual_keep(seed_res, b, T: int, D: int, rate: float,
-                   block=None):
-    """nn._hash_keep_mask((B, T, D)) sliced to this program's tile: keep
-    where mix(global_idx ^ mix(seed)) clears the threshold. ``block``:
-    optional (rows, row0) for a q-blocked tile (default: the whole (T, D)
-    row)."""
-    from fastspeech2_tpu.ops.nn import _hash_mix as mix
-
-    rows, row0 = block if block is not None else (T, 0)
-    idx = (b.astype(jnp.uint32) * np.uint32(T * D)
-           + (jax.lax.broadcasted_iota(jnp.uint32, (rows, D), 0)
-              + jnp.asarray(row0, jnp.uint32)) * np.uint32(D)
-           + jax.lax.broadcasted_iota(jnp.uint32, (rows, D), 1))
-    bits = mix(idx ^ mix(seed_res.astype(jnp.uint32)))
-    thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
-    return bits >= thresh
-
-
-def _block_fwd_kernel(len_ref, seeds_ref, x_ref, wq_ref, wk_ref, wv_ref,
-                      bqkv_ref, wo_ref, bo_ref, g_ref, be_ref, o_ref,
-                      k_s, v_s, o_scr, *, scale: float, rate_att: float,
-                      rate_res: float, n_heads: int, eps: float,
-                      block_q: int):
-    """Query-blocked (grid (B, T//bq)) so the f32 score tiles are (bq, T),
-    not (T, T): the whole-T variant exceeded the 16 MB scoped-VMEM limit at
-    T=896 by 2 MB (Mosaic stack OOM at compile). K/V are projected into
-    scratch at each row's first q-block and stay resident (the TPU grid is
-    sequential), exactly like the serving QKV-fold kernel. Every block
-    computes (no dead-block skip): padded rows must still see
-    LN(x + drop(bo)) like the XLA chain."""
-    from fastspeech2_tpu.ops.pallas.common import ln_tile
-
-    b = pl.program_id(0)
-    qi = pl.program_id(1)
-    length = len_ref[b]
-    cd = wq_ref.dtype
-    prec = _prec_for(cd)
-    T, D = k_s.shape
-    dk = D // n_heads
-    row0 = qi * block_q
-
-    def proj(xc, w_ref, bi):
-        y = jax.lax.dot_general(
-            xc, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec).astype(cd)
-        return (y.astype(jnp.float32) + bqkv_ref[bi:bi + 1]).astype(cd)
-
-    @pl.when(qi == 0)
-    def _project_kv():
-        xc = x_ref[0].astype(cd)  # (T, D)
-        k_s[:] = proj(xc, wk_ref, 1)
-        v_s[:] = proj(xc, wv_ref, 2)
-
-    res = x_ref[0, pl.ds(row0, block_q)]  # (bq, D) f32
-    q = proj(res.astype(cd), wq_ref, 0)
-    row = row0 + jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, T), 1)
-    valid = (row < length) & (col < length)
-    for h in range(n_heads):
-        sl = slice(h * dk, (h + 1) * dk)
-        s = jax.lax.dot_general(
-            q[:, sl], k_s[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
-        attn = _masked_softmax(s, valid)
-        if rate_att > 0.0:
-            keep = _keep_mask(seeds_ref[0], b, jnp.uint32(h), (block_q, T),
-                              rate_att, row0=row0)
-            attn = jnp.where(keep, attn / (1.0 - rate_att), 0.0)
-        o_scr[:, sl] = jax.lax.dot_general(
-            attn.astype(cd), v_s[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec).astype(cd)
-    # out projection: nn.linear bit-pattern (f32 accum -> cd -> f32 + bias)
-    p = jax.lax.dot_general(
-        o_scr[:], wo_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec).astype(cd).astype(jnp.float32) + bo_ref[0]
-    if rate_res > 0.0:
-        keep2 = _residual_keep(seeds_ref[1], b, T, D, rate_res,
-                               block=(block_q, row0))
-        p = jnp.where(keep2, p / (1.0 - rate_res), 0.0)
-    o_ref[0] = ln_tile(res + p, g_ref, be_ref, eps).astype(o_ref.dtype)
-
-
-def _call_block_fwd(x, wq, wk, wv, bqkv, wo, bo, g, be, lengths, seeds,
-                    n_heads, rate_att, rate_res, eps, interpret):
-    from fastspeech2_tpu.ops.pallas.attention import _pick_block_q_adaptive
-
-    B, T, D = x.shape
-    dk = D // n_heads
-    scale = 1.0 / float(np.sqrt(dk))
-    cd = wq.dtype
-    bq = _pick_block_q_adaptive(T)
-    xspec = pl.BlockSpec((1, T, D), lambda b, i, lens, sd: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, bq, D), lambda b, i, lens, sd: (b, i, 0),
-                         memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((D, D), lambda b, i, lens, sd: (0, 0),
-                         memory_space=pltpu.VMEM)
-    b3spec = pl.BlockSpec((3, D), lambda b, i, lens, sd: (0, 0),
-                          memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, D), lambda b, i, lens, sd: (0, 0),
-                         memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, T // bq),
-        in_specs=[xspec, wspec, wspec, wspec, b3spec, wspec, bspec, bspec,
-                  bspec],
-        out_specs=ospec,
-        scratch_shapes=[pltpu.VMEM((T, D), cd), pltpu.VMEM((T, D), cd),
-                        pltpu.VMEM((bq, D), cd)],
-    )
-    kernel = functools.partial(
-        _block_fwd_kernel, scale=scale, rate_att=rate_att,
-        rate_res=rate_res, n_heads=n_heads, eps=eps, block_q=bq)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * (n_heads * T * T * dk * 2 + 4 * T * D * D),
-            bytes_accessed=2 * B * T * D * 4 + 4 * D * D * 2,
-            transcendentals=B * n_heads * T * T,
-        ),
-    )(lengths.astype(jnp.int32), seeds, x.astype(jnp.float32),
-      wq, wk, wv, bqkv.astype(jnp.float32), wo,
-      bo.astype(jnp.float32), g.reshape(1, D).astype(jnp.float32),
-      be.reshape(1, D).astype(jnp.float32))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
-def attn_block_train(x: Array, wq: Array, wk: Array, wv: Array, bqkv: Array,
-                     wo: Array, bo: Array, g: Array, be: Array,
-                     lengths: Array, seeds: Array, n_heads: int,
-                     rate_att: float = 0.0, rate_res: float = 0.0,
-                     eps: float = 1e-5, interpret: bool = False) -> Array:
-    """Post-LN FFT-block attention half for training, differentiable:
-    ``LN(x + drop_res(out_proj(attn_drop(attention(xWq, xWk, xWv)))))``.
-
-    x: (B, T, D) f32 block input == residual stream (post-LN only).
-    wq/wk/wv/wo: (D, D) in the compute dtype; bqkv (3, D) f32 stacked
-    projection biases; bo (1, D) f32; g/be LayerNorm params.
-    seeds: (2,) int32 -- [attention-dropout seed, residual-dropout seed].
-    """
-    return _call_block_fwd(x, wq, wk, wv, bqkv, wo, bo, g, be, lengths,
-                           seeds, n_heads, rate_att, rate_res, eps,
-                           interpret)
-
-
-def _block_vjp_fwd(x, wq, wk, wv, bqkv, wo, bo, g, be, lengths, seeds,
-                   n_heads, rate_att, rate_res, eps, interpret):
-    y = _call_block_fwd(x, wq, wk, wv, bqkv, wo, bo, g, be, lengths, seeds,
-                        n_heads, rate_att, rate_res, eps, interpret)
-    return y, (x, wq, wk, wv, bqkv, wo, bo, g, be, lengths, seeds)
-
-
-def _block_vjp_bwd(n_heads, rate_att, rate_res, eps, interpret, res, dy):
-    """XLA-recompute backward: replay the forward with plain jnp ops (+ the
-    packed attention fwd/bwd kernels), then chain the gradients. The dropout
-    masks regenerate from the seeds, so no mask tensor was ever stored."""
-    from fastspeech2_tpu.ops.nn import _hash_keep_mask
-
-    x, wq, wk, wv, bqkv, wo, bo, g, be, lengths, seeds = res
-    cd = wq.dtype
-    B, T, D = x.shape
-    f32 = jnp.float32
-    xc = x.astype(cd)
-
-    def proj(w, bias):
-        y = jnp.dot(xc, w).astype(f32) + bias
-        return y.astype(cd)
-
-    q = proj(wq, bqkv[0])
-    k = proj(wk, bqkv[1])
-    v = proj(wv, bqkv[2])
-    o = _call_fwd_packed(q, k, v, lengths, seeds[0:1], n_heads, rate_att,
-                         interpret)
-    p = jnp.dot(o, wo).astype(f32) + bo
-    if rate_res > 0.0:
-        keep2 = _hash_keep_mask(seeds[1].astype(jnp.uint32), (B, T, D),
-                                rate_res)
-        p = jnp.where(keep2, p / (1.0 - rate_res), 0.0)
-    z = x.astype(f32) + p
-    mu = z.mean(-1, keepdims=True)
-    var = ((z - mu) ** 2).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    zhat = (z - mu) * rstd
-
-    dy = dy.astype(f32)
-    dg = jnp.sum(dy * zhat, axis=(0, 1)).astype(g.dtype).reshape(g.shape)
-    dbe = jnp.sum(dy, axis=(0, 1)).astype(be.dtype).reshape(be.shape)
-    dyh = dy * g.reshape(1, 1, D).astype(f32)
-    dz = rstd * (dyh - dyh.mean(-1, keepdims=True)
-                 - zhat * (dyh * zhat).mean(-1, keepdims=True))
-    dp = (jnp.where(keep2, dz / (1.0 - rate_res), 0.0) if rate_res > 0.0
-          else dz)
-    dbo = jnp.sum(dp, axis=(0, 1)).astype(bo.dtype).reshape(bo.shape)
-    dwo = jnp.einsum("bti,bto->io", o.astype(f32), dp).astype(wo.dtype)
-    do = jnp.dot(dp.astype(cd), wo.T)
-    dq, dk_, dv = _call_bwd_packed(q, k, v, do, lengths, seeds[0:1],
-                                   n_heads, rate_att, interpret)
-
-    def pgrads(dproj, w):
-        dwi = jnp.einsum("bti,bto->io", xc.astype(f32),
-                         dproj.astype(f32)).astype(w.dtype)
-        dbi = jnp.sum(dproj.astype(f32), axis=(0, 1))
-        dxi = jnp.dot(dproj, w.T).astype(f32)
-        return dwi, dbi, dxi
-
-    dwq, dbq, dxq = pgrads(dq, wq)
-    dwk, dbk, dxk = pgrads(dk_, wk)
-    dwv, dbv, dxv = pgrads(dv, wv)
-    dx = (dz + dxq + dxk + dxv).astype(x.dtype)
-    dbqkv = jnp.stack([dbq, dbk, dbv]).astype(bqkv.dtype)
-    return (dx, dwq, dwk, dwv, dbqkv, dwo, dbo, dg, dbe, None, None)
-
-
-attn_block_train.defvjp(_block_vjp_fwd, _block_vjp_bwd)
-
-
-def mha_fused_train_block_apply(params, p_ln, x: Array, lengths: Array,
-                                n_heads: int, key_att, key_res,
-                                rate_att: float, rate_res: float,
-                                *, eps: float = 1e-5,
-                                interpret: bool = False) -> Array:
-    """Training-mode twin of mha_fused_block_ln_apply: the COMPLETE post-LN
-    attention half (projections + attention dropout + out projection +
-    residual dropout + residual + LN) in one differentiable fused op.
-    key_att/key_res: the same two PRNG keys the XLA path would consume for
-    attention dropout and residual dropout -- the in-kernel hash masks are
-    bit-identical to that path's. tp=1, post-LN, dense params only."""
-    from fastspeech2_tpu.ops.nn import _key_to_seed
-    from fastspeech2_tpu.ops.precision import current_compute_dtype
-
-    dt = current_compute_dtype() or x.dtype
-    wq = params["q"]["w"].astype(dt)
-    wk = params["k"]["w"].astype(dt)
-    wv = params["v"]["w"].astype(dt)
-    bqkv = jnp.stack([params["q"]["b"], params["k"]["b"], params["v"]["b"]])
-    wo = params["out"]["w"].astype(dt)
-    bo = params["out"]["b"].reshape(1, -1)
-    seed_att = jax.random.randint(key_att, (1,), 0,
-                                  np.iinfo(np.int32).max, dtype=jnp.int32)
-    seed_res = _key_to_seed(key_res).astype(jnp.int32).reshape(1)
-    seeds = jnp.concatenate([seed_att, seed_res])
-    return attn_block_train(x.astype(jnp.float32), wq, wk, wv, bqkv, wo, bo,
-                            p_ln["g"], p_ln["b"], lengths, seeds, n_heads,
-                            rate_att, rate_res, eps, interpret)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_attention_train(q: Array, k: Array, v: Array, lengths: Array,
                           seed: Array, rate: float = 0.0,

@@ -175,107 +175,3 @@ def test_mha_fused_train_apply_packed_dispatch(rng, monkeypatch):
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
                                rtol=1e-6, atol=1e-7)
-
-
-def _split_path_mirror(params, p_ln, x, lengths, H, key_att, key_res,
-                       rate_att, rate_res):
-    """The exact split-path computation attn_block_train replaces:
-    mha_fused_train_apply (interpret) + hash residual dropout + residual +
-    post-LN, with the same two keys."""
-    from fastspeech2_tpu.ops import nn
-    from fastspeech2_tpu.ops.nn import _hash_keep_mask, _key_to_seed
-
-    att = mha_fused_train_apply(params, x, lengths, H, key_att, rate_att,
-                                interpret=True)
-    if rate_res > 0.0:
-        keep = _hash_keep_mask(_key_to_seed(key_res), att.shape, rate_res)
-        att = jnp.where(keep, att / (1.0 - rate_res), 0.0)
-    return nn.layer_norm(p_ln, x + att)
-
-
-def test_attn_block_train_matches_split_path(rng):
-    """The fused training attention-half (QKV + attention dropout + out proj
-    + residual dropout + residual + post-LN in one kernel) must match the
-    split path it replaces -- including BIT-identical dropout masks from the
-    same two PRNG keys -- in forward and in every gradient (params, x)."""
-    from fastspeech2_tpu.ops.pallas.attention_train import (
-        mha_fused_train_block_apply)
-
-    B, T, D, H = 2, 64, 32, 2
-    params = init_mha(jax.random.PRNGKey(5), D)
-    p_ln = {"g": jnp.asarray(rng.normal(size=(D,)) * 0.2 + 1.0, jnp.float32),
-            "b": jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)}
-    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
-    lengths = jnp.asarray([64, 41], jnp.int32)
-    ka, kr = jax.random.split(jax.random.PRNGKey(9))
-
-    for rate_att, rate_res in ((0.0, 0.0), (0.2, 0.2)):
-        fused = mha_fused_train_block_apply(
-            params, p_ln, x, lengths, H, ka, kr, rate_att, rate_res,
-            interpret=True)
-        split = _split_path_mirror(params, p_ln, x, lengths, H, ka, kr,
-                                   rate_att, rate_res)
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
-                                   rtol=2e-5, atol=2e-5)
-
-        def loss_fused(p, pl_, xx):
-            return jnp.sum(mha_fused_train_block_apply(
-                p, pl_, xx, lengths, H, ka, kr, rate_att, rate_res,
-                interpret=True) ** 2)
-
-        def loss_split(p, pl_, xx):
-            return jnp.sum(_split_path_mirror(
-                p, pl_, xx, lengths, H, ka, kr, rate_att, rate_res) ** 2)
-
-        gf = jax.grad(loss_fused, (0, 1, 2))(params, p_ln, x)
-        gs = jax.grad(loss_split, (0, 1, 2))(params, p_ln, x)
-        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gs)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=2e-4)
-
-
-def test_attn_block_train_engages_in_encoder(rng, monkeypatch):
-    """encoder_apply routes the training post-LN attention half through
-    attn_block_train when the flag is on, and the full-stack output matches
-    the split path exactly (same rng schedule, bit-identical masks)."""
-    from fastspeech2_tpu.models.encoder import (EncoderConfig, encoder_apply,
-                                                init_encoder)
-    from fastspeech2_tpu.ops import flags
-    from fastspeech2_tpu.ops.pallas import attention_train as AT
-    from jax.experimental.pallas import tpu as pltpu
-
-    from fastspeech2_tpu.ops.precision import compute_dtype
-
-    cfg = EncoderConfig(idim=40, attention_dim=256, attention_heads=2,
-                        linear_units=64, num_blocks=1,
-                        positionwise_conv_kernel_size=3)
-    params = init_encoder(jax.random.PRNGKey(0), cfg)
-    xs = jnp.asarray(rng.integers(1, 40, (2, 16)), jnp.int32)
-    lengths = jnp.asarray([16, 9], jnp.int32)
-    from fastspeech2_tpu.ops.masks import attention_mask
-
-    mask = attention_mask(lengths, 16)
-    rng_key = jax.random.PRNGKey(3)
-
-    calls = []
-    real = AT.attn_block_train
-
-    def spy(*a, **k):
-        calls.append(1)
-        return real(*a, **k)
-
-    monkeypatch.setattr(AT, "attn_block_train", spy)
-
-    def run(block_flag):
-        monkeypatch.setattr(flags, "FUSED_ATT_TRAIN_BLOCK", block_flag)
-        with pltpu.force_tpu_interpret_mode(), compute_dtype(jnp.bfloat16):
-            return encoder_apply(params, cfg, xs, mask, rng=rng_key,
-                                 deterministic=False, lengths=lengths,
-                                 fused_attention=True)
-
-    out_split = run(False)
-    assert not calls
-    out_block = run(True)
-    assert calls, "attn_block_train did not engage"
-    np.testing.assert_allclose(np.asarray(out_block), np.asarray(out_split),
-                               rtol=2e-2, atol=2e-2)
