@@ -292,6 +292,11 @@ def test_tp_train_step_with_fused_attention(monkeypatch):
         AT, "fused_attention_train",
         lambda q, k, v, lens, seed, rate, interpret=False:
             orig_train(q, k, v, lens, seed, rate, True))
+    orig_packed = AT.fused_attention_train_packed
+    monkeypatch.setattr(  # the tp=1 reference step takes the packed path
+        AT, "fused_attention_train_packed",
+        lambda q, k, v, lens, seed, h, rate, interpret=False:
+            orig_packed(q, k, v, lens, seed, h, rate, True))
 
     from fastspeech2_tpu.parallel.sharding import make_mesh_2d
 
