@@ -43,7 +43,7 @@ PEAK_TF = 197e12     # v5e bf16 MXU
 PEAK_GB = 819e9      # v5e HBM
 
 
-def build():
+def build(frames: int = 896):
     from fastspeech2_tpu.config import Config
     from fastspeech2_tpu.data.filelist import parse_filelist
     from fastspeech2_tpu.models.fastspeech2 import FastSpeech2
@@ -58,7 +58,7 @@ def build():
     entries = parse_filelist("/root/reference/filelists/valid_filelist.txt")
     seqs = [np.asarray(phonemes_to_sequence(e.phonemes), np.int32)
             for e in entries]
-    B, T, L = 32, 128, 896
+    B, T, L = 32, 128, frames
     xs = np.zeros((B, T), np.int32)
     ilens = np.zeros((B,), np.int32)
     for i in range(B):
@@ -114,9 +114,13 @@ def ceil_blocks(lens, blk):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=896,
+                    help="decoder frame-buffer size; pass a demand rung "
+                         "(e.g. 768) to profile the shapes the r5 "
+                         "demand-sized dispatch actually runs")
     args = ap.parse_args()
 
-    cfg, fn, fnargs, ilens, out_lens, (B, T, L) = build()
+    cfg, fn, fnargs, ilens, out_lens, (B, T, L) = build(args.frames)
     times = profile_kernels(fn, fnargs, args.reps)
     m = cfg.model
 

@@ -109,16 +109,20 @@ def build(variant: str):
 
         return infer, (params, state, xs, ilens)
 
-    if variant == "demand2":
-        # decode bucketing: sort rows by demand, split at the median, decode
-        # each half on its own rung; B/2=16 rows keep MXU-efficient batches
+    if variant in ("demand2", "demand3"):
+        # decode bucketing: sort rows by demand, split into equal groups,
+        # decode each on its own rung (2-way: the kept serving default;
+        # 3-way: measures whether a third bucket pays for its extra
+        # dispatch + jit shapes)
+        n_groups = int(variant[-1])
+
         def infer(params, state, xs, ilens):
             hs, d_outs, dem = enc(params, xs, ilens)
             dem = np.asarray(dem)
             order = np.argsort(dem)
-            halves = [order[: B // 2], order[B // 2:]]
+            groups = np.array_split(order, n_groups)
             outs = []
-            for g in halves:
+            for g in groups:
                 rung = min(_round_up(int(dem[g].max()), 256), 2048)
                 gi = jnp.asarray(g)
                 outs.append(dec_fn(rung, len(g))(
