@@ -131,8 +131,12 @@ def fused_postnet(x: Array, weights, means, invs, gs, bs, lengths: Array,
         # true lengths ~479): bt=224 288.5 us vs 128 337.9 / 64 422.2 /
         # 448 339.6 / 896 407.1 (scripts/measure_block_tunes.py, r4) --
         # past 224 the dead-block length-skipping loss outweighs the halo
-        # amortization.
-        block_t = pick_block_t(L, candidates=(224, 128, 64, 32, 16, 8))
+        # amortization. 256/192 cover the r5 demand rungs (256-multiples,
+        # where 224 doesn't divide): at L=768 bt=256 measured 291.7 us vs
+        # 128's 328.1 (scripts/measure_rung_blocks.py, r5; FFN blocks
+        # re-measured there too -- 128 stays its optimum).
+        block_t = pick_block_t(L, candidates=(224, 256, 192, 128, 64, 32,
+                                              16, 8))
     assert L % block_t == 0, (L, block_t)
 
     xspec = pl.BlockSpec((1, L, C), lambda b, i, lens: (b, 0, 0),

@@ -241,7 +241,7 @@ def main():
          + B * L * m.adim * 2 * 2  # out f32... out is f32: 4 bytes
          ) * 1.0 + B * L * 4, f"bl={bl_a}")
 
-    bt_pn = pick_block_t(L, candidates=(224, 128, 64, 32, 16, 8))
+    bt_pn = pick_block_t(L, candidates=(224, 256, 192, 128, 64, 32, 16, 8))
     live_pn = float(np.sum(ceil_blocks(out_lens, bt_pn) * bt_pn))
     add("postnet", times.get("fused_postnet.1", 0),
         live_pn * postnet_flops_per_frame(),
