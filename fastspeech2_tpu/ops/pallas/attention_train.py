@@ -69,19 +69,16 @@ def _scores_and_attn(q, k, length, scale, prec):
     return _masked_softmax(s, valid)
 
 
-def _keep_mask(seed, b, h, shape, rate, row0=0):
+def _keep_mask(seed, b, h, shape, rate):
     """Counter-based dropout mask: keep where hash >= rate * 2^32.
 
     hash = lowbias32(idx ^ lowbias32(seed ^ golden*(b*1024 + h))) -- a pure
     function of position, so forward/backward agree bit-for-bit with no
-    stored mask, and it lowers on every backend (unlike pltpu.prng_*).
-    row0: global row offset of this (shape[0], shape[1]) tile -- a q-blocked
-    kernel passes qi*block_q so its mask slices the whole-(T, T) mask."""
+    stored mask, and it lowers on every backend (unlike pltpu.prng_*)."""
     from fastspeech2_tpu.ops.nn import _hash_mix as mix
 
     T0, T1 = shape
-    idx = ((jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            + jnp.asarray(row0, jnp.uint32)) * np.uint32(T1)
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(T1)
            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
     key = mix(seed.astype(jnp.uint32)
               ^ (np.uint32(0x9E3779B9)
